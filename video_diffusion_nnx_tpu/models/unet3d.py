@@ -1,0 +1,326 @@
+"""Unet3D: factorized-(2+1)D video denoiser.
+
+Parity surface: reference unet3d.py:21-387. The architecture is a U-Net over
+``(b, f, h, w, c)`` video with:
+
+* spatial-only convs (temporal kernel extent 1) — all temporal mixing happens
+  in temporal attention over the frame axis;
+* per-level: ResnetBlock x2 -> spatial linear attention -> temporal
+  attention -> stride-2 spatial down/upsample;
+* a bottleneck with full spatial attention;
+* sinusoidal timestep embedding -> MLP, injected via FiLM into every
+  ResnetBlock;
+* optional text conditioning (BERT-dim) with classifier-free guidance.
+
+Checkpoint/init parity contract
+-------------------------------
+Attribute names, container nesting (``downs``/``ups`` as lists of 5-element
+lists), and *construction order* all mirror the reference exactly:
+
+* names + nesting fix the ``nnx.State`` tree paths, so Orbax checkpoints
+  written by the reference restore here unchanged;
+* construction order fixes the ``nnx.Rngs`` draw sequence, so
+  ``Unet3D(dim, rngs=nnx.Rngs(seed))`` materializes bit-identical initial
+  parameters to the reference at the same seed.
+
+The *compute* inside ``__call__`` is TPU-first (folded-frame 2-D convs,
+flattened-matmul pointwise convs, optional fused kernels) — see
+``models/layers.py`` and ``ops/``.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import nnx
+
+from video_diffusion_nnx_tpu.models.attention import (
+    MultiheadAttention,
+    RelativePositionBias,
+    SpatialLinearAttention,
+)
+from video_diffusion_nnx_tpu.models.blocks import ResnetBlock
+from video_diffusion_nnx_tpu.models.layers import (
+    Downsample,
+    EinopsToAndFrom,
+    Identity,
+    PointwiseConv,
+    PreNorm,
+    PseudoConv3d,
+    Residual,
+    SinusoidalPosEmb,
+    Upsample,
+)
+from video_diffusion_nnx_tpu.models.text import BERT_MODEL_DIM
+from video_diffusion_nnx_tpu.utils.functional import default, exists, is_odd, prob_mask_like
+
+logger = logging.getLogger(__name__)
+
+
+class Unet3D(nnx.Module):
+    """3-D U-Net denoiser for video diffusion (reference unet3d.py:21-252).
+
+    Args mirror the reference. ``reference_compat`` (new) selects between
+    bit-faithful reference behavior (default True; PreNorm is a no-op wrapper
+    that drops pos_bias/focus masks — see ``layers.PreNorm``) and the fixed
+    math (pre-norm applied, rel-pos bias and focus masks actually reach
+    temporal attention, applied pre-softmax).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        rngs: nnx.Rngs,
+        dim_mults=(1, 2, 4, 8),
+        cond_dim: int | None = None,
+        out_dim: int | None = None,
+        channels: int = 3,
+        attn_heads: int = 8,
+        attn_dim_head: int = 32,
+        use_bert_text_cond: bool = False,
+        init_dim: int | None = None,
+        init_kernel_size: int = 7,
+        use_sparse_linear_attn: bool = True,
+        block_type: str = "resnet",
+        resnet_groups: int = 8,
+        log_dims: bool = False,
+        reference_compat: bool = True,
+    ):
+        self.channels = channels
+        self.log_dims = log_dims
+        self.reference_compat = reference_compat
+        rotary_emb = None
+
+        # Temporal attention: fold the h*w pixels into the batch axis and
+        # attend along frames (reference unet3d.py:86-96).
+        def temporal_attn(d: int) -> EinopsToAndFrom:
+            return EinopsToAndFrom(
+                "b f h w c",
+                "b (h w) f c",
+                MultiheadAttention(
+                    in_features=d,
+                    dim=attn_dim_head,
+                    num_heads=attn_heads,
+                    rotary_emb=rotary_emb,
+                    rngs=rngs,
+                    reference_compat=reference_compat,
+                ),
+            )
+
+        prenorm = partial(PreNorm, rngs=rngs, reference_compat=reference_compat)
+
+        # --- construction order below mirrors reference unet3d.py:98-252 ---
+        self.time_rel_pos_bias = RelativePositionBias(heads=attn_heads, max_distance=32, rngs=rngs)
+
+        init_dim = default(init_dim, dim)
+        assert init_dim is not None
+        assert is_odd(init_kernel_size)
+
+        self.init_conv = PseudoConv3d(
+            channels, init_dim, kernel_size=(1, init_kernel_size, init_kernel_size), rngs=rngs
+        )
+        self.init_temporal_attn = Residual(prenorm(init_dim, temporal_attn(init_dim)))
+
+        dims = [init_dim, *(dim * m for m in dim_mults)]
+        in_out = list(zip(dims[:-1], dims[1:]))
+
+        time_dim = dim * 4
+        self.time_mlp = nnx.Sequential(
+            SinusoidalPosEmb(dim),
+            nnx.Linear(dim, time_dim, rngs=rngs),
+            nnx.gelu,
+            nnx.Linear(time_dim, time_dim, rngs=rngs),
+        )
+
+        self.has_cond = exists(cond_dim) or use_bert_text_cond
+        cond_dim = BERT_MODEL_DIM if use_bert_text_cond else cond_dim
+        # Parity quirk preserved: the null-conditioning embedding is drawn as
+        # *random integers* cast to float32 from a fixed PRNGKey(0)
+        # (reference unet3d.py:138-149).
+        self.null_cond_emb = (
+            nnx.Param(
+                jax.random.randint(
+                    jax.random.PRNGKey(0), (1, cond_dim), minval=1, maxval=cond_dim
+                ).astype(jnp.float32)
+            )
+            if self.has_cond
+            else 0.0
+        )
+        cond_dim = time_dim + int(cond_dim or 0)
+
+        num_resolutions = len(in_out)
+        block_klass = partial(ResnetBlock, groups=resnet_groups, rngs=rngs)
+        block_klass_cond = partial(block_klass, time_emb_dim=cond_dim)
+
+        downs = []
+        for ind, (dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= (num_resolutions - 1)
+            downs.append(
+                nnx.List(
+                    [
+                        block_klass_cond(dim_in, dim_out),
+                        block_klass_cond(dim_out, dim_out),
+                        (
+                            Residual(
+                                prenorm(
+                                    dim_out,
+                                    SpatialLinearAttention(dim_out, heads=attn_heads, D=32, rngs=rngs),
+                                )
+                            )
+                            if use_sparse_linear_attn
+                            else Identity()
+                        ),
+                        Residual(prenorm(dim_out, temporal_attn(dim_out))),
+                        Downsample(dim_out, rngs=rngs) if not is_last else Identity(),
+                    ]
+                )
+            )
+        self.downs = nnx.List(downs)
+
+        mid_dim = dims[-1]
+        self.mid_block1 = block_klass_cond(mid_dim, mid_dim)
+
+        # Bottleneck: full (quadratic) spatial attention over h*w tokens,
+        # frames folded into batch (reference unet3d.py:196-202).
+        spatial_attn = EinopsToAndFrom(
+            "b f h w c",
+            "b f (h w) c",
+            MultiheadAttention(
+                in_features=mid_dim,
+                dim=attn_dim_head,
+                num_heads=attn_heads,
+                rngs=rngs,
+                reference_compat=reference_compat,
+            ),
+        )
+        self.mid_spatial_attn = Residual(prenorm(mid_dim, spatial_attn))
+        self.mid_temporal_attn = Residual(prenorm(mid_dim, temporal_attn(mid_dim)))
+        self.mid_block2 = block_klass_cond(mid_dim, mid_dim)
+
+        ups = []
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = ind >= (num_resolutions - 1)
+            ups.append(
+                nnx.List(
+                    [
+                        block_klass_cond(dim_out * 2, dim_in),
+                        block_klass_cond(dim_in, dim_in),
+                        (
+                            Residual(
+                                prenorm(
+                                    dim_in,
+                                    SpatialLinearAttention(dim_in, heads=attn_heads, D=32, rngs=rngs),
+                                )
+                            )
+                            if use_sparse_linear_attn
+                            else Identity()
+                        ),
+                        Residual(prenorm(dim_in, temporal_attn(dim_in))),
+                        Upsample(dim_in, rngs=rngs) if not is_last else Identity(),
+                    ]
+                )
+            )
+        self.ups = nnx.List(ups)
+
+        out_dim = default(out_dim, channels)
+        self.final_conv = nnx.Sequential(
+            block_klass(dim * 2, dim),
+            PointwiseConv(dim, out_dim, kernel_size=1, rngs=rngs),
+        )
+
+    def forward_with_cond_scale(self, *args: Any, cond_scale: float = 2.0, **kwargs: Any) -> jax.Array:
+        """Classifier-free guidance: ``null + (cond - null) * scale``.
+
+        Parity: reference unet3d.py:254-260. Without conditioning (or at
+        ``cond_scale == 1``) this is a single forward pass.
+        """
+        logits = self(*args, null_cond_prob=0.0, **kwargs)
+        if cond_scale == 1 or not self.has_cond:
+            return logits
+        null_logits = self(*args, null_cond_prob=1.0, **kwargs)
+        return null_logits + (logits - null_logits) * cond_scale
+
+    def _log_shape(self, tag: str, x: jax.Array) -> None:
+        if self.log_dims:
+            logger.debug("%s: %s", tag, ", ".join(map(str, x.shape)))
+
+    def __call__(
+        self,
+        x: jax.Array,
+        time: jax.Array,
+        cond: jax.Array | None = None,
+        null_cond_prob: float = 0.0,
+        focus_present_mask: jax.Array | None = None,
+        prob_focus_present: float = 0.0,
+        *,
+        key: jax.Array | None = None,
+    ) -> jax.Array:
+        """Denoise ``x`` of shape ``(b, c, f, h, w)``; returns ``(b, f, h, w, c)``.
+
+        Parity: reference unet3d.py:262-387 (including the channels-last
+        output that callers rearrange). ``key`` (new) threads randomness into
+        the CFG null-cond dropout and focus-present mask; when omitted the
+        reference's host-seeded fallback is used (only reachable when those
+        probabilities are strictly between 0 and 1).
+        """
+        assert not (self.has_cond and not exists(cond)), "cond must be passed in if cond_dim specified"
+
+        mask_key = cfg_key = None
+        if key is not None:
+            mask_key, cfg_key = jax.random.split(key)
+        focus_present_mask = default(
+            focus_present_mask,
+            lambda: prob_mask_like((x.shape[0],), prob_focus_present, key=mask_key),
+        )
+        time_rel_pos_bias = self.time_rel_pos_bias(x.shape[2])
+
+        x = rearrange(x, "b c f h w -> b f h w c")
+        x = self.init_conv(x)
+        x = self.init_temporal_attn(x, pos_bias=time_rel_pos_bias)
+        r = x
+
+        t = self.time_mlp(time)
+
+        if self.has_cond:
+            mask = prob_mask_like((x.shape[0],), null_cond_prob, key=cfg_key)
+            cond = jnp.where(mask[:, None], self.null_cond_emb[...], cond)
+            t = jnp.concatenate((t, cond), axis=-1)
+
+        h = []
+        for block1, block2, spatial_attn, temporal_attn, downsample in self.downs:
+            x = block1(x, t)
+            x = block2(x, t)
+            x = spatial_attn(x)
+            x = temporal_attn(x, pos_bias=time_rel_pos_bias, focus_present_mask=focus_present_mask)
+            h.append(x)
+            self._log_shape("down pre-downsample", x)
+            x = downsample(x)
+
+        self._log_shape("mid input", x)
+        x = self.mid_block1(x, t)
+        x = self.mid_spatial_attn(x)
+        x = self.mid_temporal_attn(
+            x, pos_bias=time_rel_pos_bias, focus_present_mask=focus_present_mask
+        )
+        x = self.mid_block2(x, t)
+
+        for i, (block1, block2, spatial_attn, temporal_attn, upsample) in enumerate(self.ups):
+            skip = h.pop()
+            x = jnp.concatenate((x, skip), axis=-1)
+            self._log_shape(f"up {i} post-concat", x)
+            x = block1(x, t)
+            x = block2(x, t)
+            x = spatial_attn(x)
+            x = temporal_attn(x, pos_bias=time_rel_pos_bias, focus_present_mask=focus_present_mask)
+            x = upsample(x)
+
+        x = jnp.concatenate((x, r), axis=-1)
+        self._log_shape("final conv input", x)
+        out = self.final_conv(x)
+        self._log_shape("output", out)
+        return out

@@ -1,0 +1,72 @@
+"""Orbax checkpointing with the reference's exact on-disk layout.
+
+Parity surface: reference utils.py:432-508. The checkpoint at step ``N`` is
+``{checkpoint_dir}/{N}/**`` holding a StandardSave of
+``{'model': <nnx.State of the whole GaussianDiffusion>, 'ema_params': <same>}``
+— including the diffusion schedule ``nnx.Variable`` buffers. This layout is
+what lets checkpoints written by the reference restore into this framework
+unchanged (and vice versa).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import orbax.checkpoint as ocp
+from flax import nnx
+from orbax.checkpoint import CheckpointManager
+from orbax.checkpoint import args as ocp_args
+
+PyTree = Any
+
+logger = logging.getLogger(__name__)
+
+
+def save_checkpoint(
+    ckpt_manager: CheckpointManager,
+    model_params: PyTree,
+    ema_params: PyTree,
+    step: int,
+) -> None:
+    """Save ``{'model': model_params, 'ema_params': ema_params}`` at ``step``.
+
+    Parity: reference utils.py:432-458 (StandardSave, ``force=True``, blocking
+    wait so the step directory is complete when we return).
+    """
+    save_items = {"model": model_params, "ema_params": ema_params}
+    ckpt_manager.save(step, args=ocp_args.StandardSave(save_items), force=True)
+    ckpt_manager.wait_until_finished()
+    logger.info("Checkpoint saved at step %d", step)
+
+
+def load_checkpoint(
+    model: nnx.Module,
+    step: int,
+    path: str,
+    ckpt_manager: CheckpointManager | None = None,
+    load_ema_params: bool = False,
+):
+    """Restore a checkpoint into ``model``'s structure.
+
+    Returns ``(model, ema_params)`` — the merged model (EMA weights when
+    ``load_ema_params``) plus the raw EMA state, matching reference
+    utils.py:460-508.
+    """
+    if ckpt_manager is None:
+        ckpt_manager = ocp.CheckpointManager(path, options=ocp.CheckpointManagerOptions())
+
+    graphdef, abstract_state = nnx.split(model)
+    abstract = {"model": abstract_state, "ema_params": abstract_state}
+    state_dict = ckpt_manager.restore(step, args=ocp_args.StandardRestore(abstract))
+    model_params = state_dict["model"]
+    ema_params = state_dict["ema_params"]
+
+    if load_ema_params:
+        model = nnx.merge(graphdef, ema_params)
+        logger.info("Loaded EMA parameters")
+    else:
+        model = nnx.merge(graphdef, model_params)
+        logger.info("Loaded model parameters")
+    logger.info("Checkpoint loaded from step: %d", step)
+    return model, ema_params
