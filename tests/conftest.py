@@ -13,7 +13,10 @@ for conftest.py at collection time.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment pins JAX_PLATFORMS to a TPU
+# platform (tests must be hermetic and multi-device). Override with
+# VDT_TEST_PLATFORM to run the suite against real hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("VDT_TEST_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,6 +27,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+
+import jax  # noqa: E402
+
+# The container's sitecustomize imports jax at interpreter start (before this
+# conftest), so jax has already cached JAX_PLATFORMS from the ambient env.
+# Backend initialization is still lazy at collection time, so updating the
+# config here reliably redirects the suite to CPU.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import pytest  # noqa: E402
 from flax import nnx  # noqa: E402

@@ -1,0 +1,266 @@
+"""Tests for the GaussianDiffusion process.
+
+Coverage model: reference gaussian_diffusion_test.py:1-257 (closed-form q/p
+math with a zero-denoiser mock) — rebuilt, not ported — plus new checks the
+reference never had: the on-device scan sampler is verified step-for-step
+(including PRNG key chain) against a host-side loop that replicates the
+reference's dispatch pattern, and sampling runs sharded over 8 virtual
+devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from video_diffusion_nnx_tpu.diffusion import GaussianDiffusion
+from video_diffusion_nnx_tpu.parallel import data_parallel_mesh
+from video_diffusion_nnx_tpu.utils.image import unnormalize_img
+
+
+class ZeroDenoiser(nnx.Module):
+    """Predicts zero noise; output in 'b f h w c' like Unet3D."""
+
+    def __call__(self, x, t, cond=None, **kwargs):
+        return jnp.zeros(
+            (x.shape[0], x.shape[2], x.shape[3], x.shape[4], x.shape[1]), x.dtype
+        )
+
+    def forward_with_cond_scale(self, x, t, cond=None, cond_scale=1.0, **kwargs):
+        return self(x, t, cond=cond, **kwargs)
+
+
+@pytest.fixture(scope="module")
+def diffusion():
+    return GaussianDiffusion(
+        ZeroDenoiser(), image_size=8, num_frames=2, channels=1, timesteps=20, loss_type="l2"
+    )
+
+
+B, C, F, H, W = 2, 1, 2, 8, 8
+SHAPE = (B, C, F, H, W)
+
+
+class TestScheduleBuffers:
+    def test_buffer_shapes(self, diffusion):
+        for name in (
+            "alphas_cumprod",
+            "sqrt_alphas_cumprod",
+            "sqrt_one_minus_alphas_cumprod",
+            "log_one_minus_alphas_cumprod",
+            "sqrt_recip_alphas_cumprod",
+            "sqrt_recipm1_alphas_cumprod",
+            "posterior_variance",
+            "posterior_log_variance_clipped",
+            "posterior_mean_coef1",
+            "posterior_mean_coef2",
+        ):
+            assert getattr(diffusion, name)[...].shape == (20,), name
+
+    def test_buffers_in_state_tree(self, diffusion):
+        """Checkpoint parity: schedule buffers are part of the nnx state."""
+        _, state = nnx.split(diffusion)
+        paths = {p[0] for p, _ in state.flat_state()}
+        assert "alphas_cumprod" in paths
+        assert "posterior_mean_coef2" in paths
+
+
+class TestQProcess:
+    def test_q_mean_variance_closed_form(self, diffusion):
+        x0 = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        t = jnp.array([3, 15])
+        mean, var, logvar = diffusion.q_mean_variance(x0, t)
+        ac = np.asarray(diffusion.alphas_cumprod[...])
+        for i, ti in enumerate([3, 15]):
+            np.testing.assert_allclose(
+                np.asarray(mean[i]), np.sqrt(ac[ti]) * np.asarray(x0[i]), rtol=1e-5
+            )
+            np.testing.assert_allclose(np.asarray(var[i]), 1 - ac[ti], rtol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(logvar[i]), np.log(1 - ac[ti]), rtol=1e-3
+            )
+
+    def test_q_sample_with_zero_noise_scales_input(self, diffusion):
+        x0 = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        t = jnp.array([5, 5])
+        xt = diffusion.q_sample(x0, t, noise=jnp.zeros_like(x0))
+        ac5 = float(diffusion.alphas_cumprod[...][5])
+        np.testing.assert_allclose(
+            np.asarray(xt), np.sqrt(ac5) * np.asarray(x0), rtol=1e-5
+        )
+
+    def test_predict_start_roundtrip(self, diffusion):
+        """q_sample then predict_start_from_noise recovers x0 exactly."""
+        x0 = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        noise = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+        t = jnp.array([7, 12])
+        xt = diffusion.q_sample(x0, t, noise=noise)
+        x0_rec = diffusion.predict_start_from_noise(xt, t, noise)
+        np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+
+    def test_q_posterior_closed_form(self, diffusion):
+        x0 = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        xt = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+        t = jnp.array([4, 4])
+        mean, var, logvar = diffusion.q_posterior(x0, xt, t)
+        c1 = float(diffusion.posterior_mean_coef1[...][4])
+        c2 = float(diffusion.posterior_mean_coef2[...][4])
+        np.testing.assert_allclose(
+            np.asarray(mean), c1 * np.asarray(x0) + c2 * np.asarray(xt), rtol=1e-5
+        )
+        assert var.shape == (B, 1, 1, 1, 1)
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(logvar)).ravel(),
+            np.maximum(np.asarray(var).ravel(), 1e-20),
+            rtol=1e-4,
+        )
+
+
+class TestPProcess:
+    def test_p_mean_variance_zero_denoiser(self, diffusion):
+        """With eps=0 the reconstruction is sqrt(1/acp)*x clipped to [-1,1]."""
+        x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        t = jnp.array([2, 2])
+        mean, var, logvar = diffusion.p_mean_variance(x, t, clip_denoised=True)
+        sra = float(diffusion.sqrt_recip_alphas_cumprod[...][2])
+        x_rec = np.clip(sra * np.asarray(x), -1, 1)
+        c1 = float(diffusion.posterior_mean_coef1[...][2])
+        c2 = float(diffusion.posterior_mean_coef2[...][2])
+        np.testing.assert_allclose(
+            np.asarray(mean), c1 * x_rec + c2 * np.asarray(x), rtol=1e-4
+        )
+
+    def test_p_sample_t0_adds_no_noise(self, diffusion):
+        x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        t = jnp.zeros((B,), jnp.int32)
+        out1 = diffusion.p_sample(x, t, key=jax.random.PRNGKey(1))
+        out2 = diffusion.p_sample(x, t, key=jax.random.PRNGKey(2))
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+    def test_p_sample_t_nonzero_is_stochastic(self, diffusion):
+        x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        t = jnp.full((B,), 5, jnp.int32)
+        out1 = diffusion.p_sample(x, t, key=jax.random.PRNGKey(1))
+        out2 = diffusion.p_sample(x, t, key=jax.random.PRNGKey(2))
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_dynamic_thresholding(self):
+        diff = GaussianDiffusion(
+            ZeroDenoiser(),
+            image_size=8,
+            num_frames=2,
+            channels=1,
+            timesteps=20,
+            use_dynamic_thres=True,
+            dynamic_thres_percentile=0.9,
+        )
+        x = 10.0 * jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        t = jnp.array([1, 1])
+        mean, _, _ = diff.p_mean_variance(x, t, clip_denoised=True)
+        assert np.isfinite(np.asarray(mean)).all()
+
+
+class TestLosses:
+    def test_l2_loss_zero_denoiser(self, diffusion):
+        """E[(0 - eps)^2] = 1 for standard normal eps."""
+        x0 = jnp.zeros(SHAPE)
+        t = jnp.array([5, 5])
+        loss = diffusion.p_losses(x0, t, key=jax.random.PRNGKey(0))
+        assert 0.5 < float(loss) < 1.5
+
+    def test_l1_loss_with_explicit_noise(self):
+        diff = GaussianDiffusion(
+            ZeroDenoiser(), image_size=8, num_frames=2, channels=1, timesteps=20, loss_type="l1"
+        )
+        x0 = jnp.zeros(SHAPE)
+        t = jnp.array([5, 5])
+        noise = 0.5 * jnp.ones(SHAPE)
+        loss = diff.p_losses(x0, t, key=jax.random.PRNGKey(0), noise=noise)
+        np.testing.assert_allclose(float(loss), 0.5, rtol=1e-5)
+
+    def test_l2_loss_with_explicit_noise(self, diffusion):
+        x0 = jnp.zeros(SHAPE)
+        t = jnp.array([5, 5])
+        noise = 0.5 * jnp.ones(SHAPE)
+        loss = diffusion.p_losses(x0, t, key=jax.random.PRNGKey(0), noise=noise)
+        np.testing.assert_allclose(float(loss), 0.25, rtol=1e-5)
+
+    def test_call_validates_shape(self, diffusion):
+        bad = jnp.zeros((2, 3, 2, 8, 8))  # wrong channel count
+        with pytest.raises(ValueError):
+            diffusion(bad, key=jax.random.PRNGKey(0))
+
+    def test_call_returns_scalar_loss(self, diffusion):
+        x = jnp.zeros(SHAPE)
+        loss = diffusion(x, key=jax.random.PRNGKey(0))
+        assert loss.shape == ()
+
+    def test_call_is_jittable(self, diffusion):
+        graphdef, state = nnx.split(diffusion)
+
+        @jax.jit
+        def loss_fn(state, x, key):
+            model = nnx.merge(graphdef, state)
+            return model(x, key=key)
+
+        loss = loss_fn(state, jnp.zeros(SHAPE), jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
+
+class TestSampling:
+    def test_sample_shape_and_range(self, diffusion):
+        out = diffusion.sample(key=jax.random.PRNGKey(0), batch_size=2)
+        assert out.shape == SHAPE
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_sample_deterministic_at_fixed_seed(self, diffusion):
+        a = diffusion.sample(key=jax.random.PRNGKey(7), batch_size=2)
+        b = diffusion.sample(key=jax.random.PRNGKey(7), batch_size=2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_scan_sampler_matches_reference_host_loop(self, diffusion):
+        """The fused scan must reproduce the reference's host dispatch loop
+        *including its PRNG key chain* (reference gaussian_diffusion.py:286,
+        311-316): key->(key,init); per step key->(key,step)."""
+        key = jax.random.PRNGKey(42)
+        got = diffusion.p_sample_loop(SHAPE, key=key)
+
+        # Host-side replication of the reference loop.
+        key, init_noise_key = jax.random.split(key)
+        img = jax.random.normal(init_noise_key, SHAPE)
+        for i in reversed(range(diffusion.num_timesteps)):
+            key, step_key = jax.random.split(key)
+            t_arr = jnp.full((B,), i, jnp.int32)
+            img = diffusion.p_sample(img, t_arr, key=step_key)
+        want = unnormalize_img(img)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_sample_sharded_over_8_devices(self, diffusion):
+        assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+        mesh = data_parallel_mesh(8)
+        out = diffusion.sample(key=jax.random.PRNGKey(0), batch_size=8, mesh=mesh)
+        assert out.shape == (8, C, F, H, W)
+
+    def test_sharded_matches_single_device(self, diffusion):
+        """Data-parallel sampling must be bitwise-equivalent math."""
+        mesh = data_parallel_mesh(8)
+        sharded = diffusion.sample(key=jax.random.PRNGKey(3), batch_size=8, mesh=mesh)
+        single = diffusion.sample(
+            key=jax.random.PRNGKey(3), batch_size=8, mesh=data_parallel_mesh(1)
+        )
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+class TestInterpolate:
+    def test_interpolate_shape(self, diffusion):
+        x1 = jnp.zeros(SHAPE)
+        x2 = jnp.ones(SHAPE)
+        out = diffusion.interpolate(x1, x2, key=jax.random.PRNGKey(0), t=5)
+        assert out.shape == SHAPE
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_interpolate_validates_lambda(self, diffusion):
+        x = jnp.zeros(SHAPE)
+        with pytest.raises(AssertionError):
+            diffusion.interpolate(x, x, key=jax.random.PRNGKey(0), lam=1.5)

@@ -1,0 +1,420 @@
+"""DDPM Gaussian diffusion: forward noising, training loss, reverse sampling.
+
+Parity surface: reference gaussian_diffusion.py:23-502. All q/p math, the
+buffer names (``nnx.Variable`` members, so the state tree — and therefore
+Orbax checkpoints — match the reference), the loss key-split chain, and the
+sampling key-split chain are reproduced exactly, which is what makes
+fixed-seed samples comparable to the reference per BASELINE.json.
+
+TPU-first design
+----------------
+The reference's ``p_sample_loop`` dispatches T separate pjit calls from a
+host ``tqdm`` loop (gaussian_diffusion.py:311-316) — T host->device round
+trips, T times the dispatch latency, and the model graph re-merged per step.
+Here the full reverse process is ONE compiled XLA program: a ``lax.scan``
+over timesteps whose carried state is ``(img, key)``, with the model weights
+as scan constants resident in HBM and the per-step schedule coefficients
+gathered from stacked ``(T,)`` buffers by a single dynamic index. The batch
+is sharded over the ``'data'`` mesh axis; XLA inserts no collectives in the
+loop body (sampling is embarrassingly data-parallel), so scaling is linear
+in devices.
+
+Key-split chain parity (reference gaussian_diffusion.py:286, 311-316):
+``key -> (key, init_noise_key)`` before the loop, then per step
+``key -> (key, step_key)`` with ``step_key`` used whole for the sampling
+noise. The reference also computes per-device ``step_keys`` it never uses —
+dead code with no effect on the chain, so not reproduced.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import nnx
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_diffusion_nnx_tpu.models.text import bert_embed, tokenize
+from video_diffusion_nnx_tpu.parallel.mesh import data_parallel_mesh
+from video_diffusion_nnx_tpu.utils.functional import check_shape, exists, is_list_str
+from video_diffusion_nnx_tpu.utils.image import normalize_img, unnormalize_img
+from video_diffusion_nnx_tpu.utils.schedule import ScheduleBuffers, extract
+
+logger = logging.getLogger(__name__)
+
+# Compiled-sampler cache: the scan program depends only on (graphdef, shape,
+# T, mesh, batch spec, cond_scale, has_cond) — re-sampling with new weights
+# or keys reuses the compiled executable.
+_SAMPLE_SCAN_CACHE: dict = {}
+
+
+def _build_sample_scan(
+    graphdef,
+    shape: tuple[int, ...],
+    num_timesteps: int,
+    mesh: Mesh,
+    batch_spec: P,
+    cond_scale: float,
+    has_cond: bool,
+):
+    cache_key = (graphdef, shape, num_timesteps, mesh, batch_spec, cond_scale, has_cond)
+    cached = _SAMPLE_SCAN_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
+    batch_size = shape[0]
+    repl = NamedSharding(mesh, P())
+    img_sharding = NamedSharding(mesh, batch_spec)
+
+    def run(state, key, cond=None):
+        model = nnx.merge(graphdef, state)
+        key, init_noise_key = jax.random.split(key)
+        img = jax.random.normal(init_noise_key, shape)
+        img = jax.lax.with_sharding_constraint(img, img_sharding)
+
+        def body(carry, i):
+            img, key = carry
+            key, step_key = jax.random.split(key)
+            t_arr = jnp.full((batch_size,), i, jnp.int32)
+            img = model.p_sample(
+                img, t_arr, key=step_key, cond=cond, cond_scale=cond_scale
+            )
+            img = jax.lax.with_sharding_constraint(img, img_sharding)
+            return (img, key), None
+
+        (img, _), _ = jax.lax.scan(
+            body, (img, key), jnp.arange(num_timesteps - 1, -1, -1)
+        )
+        return unnormalize_img(img)
+
+    if has_cond:
+        jitted = jax.jit(
+            run, in_shardings=(repl, repl, repl), out_shardings=img_sharding
+        )
+    else:
+        jitted = jax.jit(
+            lambda state, key: run(state, key),
+            in_shardings=(repl, repl),
+            out_shardings=img_sharding,
+        )
+    _SAMPLE_SCAN_CACHE[cache_key] = jitted
+    return jitted
+
+
+class GaussianDiffusion(nnx.Module):
+    """DDPM wrapper around a denoiser (reference gaussian_diffusion.py:23-98).
+
+    ``denoise_fn`` is any module with the Unet3D calling convention:
+    ``denoise_fn(x_bcfhw, t, cond=...) -> eps_bfhwc`` plus
+    ``forward_with_cond_scale`` for classifier-free guidance.
+    """
+
+    def __init__(
+        self,
+        denoise_fn: nnx.Module,
+        *,
+        image_size: int,
+        num_frames: int,
+        text_use_bert_cls: bool = False,
+        channels: int = 3,
+        timesteps: int = 1000,
+        loss_type: str = "l1",
+        use_dynamic_thres: bool = False,
+        dynamic_thres_percentile: float = 0.9,
+    ):
+        self.channels = channels
+        self.image_size = image_size
+        self.num_frames = num_frames
+        self.denoise_fn = denoise_fn
+        self.loss_type = loss_type
+        self.text_use_bert_cls = text_use_bert_cls
+        self.use_dynamic_thres = use_dynamic_thres
+        self.dynamic_thres_percentile = dynamic_thres_percentile
+        self.num_timesteps = int(timesteps)
+
+        # Buffer names and dtypes mirror reference gaussian_diffusion.py:85-98
+        # (checkpoint-tree parity); values come from the shared schedule
+        # module so the sampler can also use them stacked.
+        buf = ScheduleBuffers.create(self.num_timesteps)
+        self.alphas_cumprod = nnx.Variable(buf.alphas_cumprod)
+        self.sqrt_alphas_cumprod = nnx.Variable(buf.sqrt_alphas_cumprod)
+        self.sqrt_one_minus_alphas_cumprod = nnx.Variable(buf.sqrt_one_minus_alphas_cumprod)
+        self.log_one_minus_alphas_cumprod = nnx.Variable(buf.log_one_minus_alphas_cumprod)
+        self.sqrt_recip_alphas_cumprod = nnx.Variable(buf.sqrt_recip_alphas_cumprod)
+        self.sqrt_recipm1_alphas_cumprod = nnx.Variable(buf.sqrt_recipm1_alphas_cumprod)
+        self.posterior_variance = nnx.Variable(buf.posterior_variance)
+        self.posterior_log_variance_clipped = nnx.Variable(buf.posterior_log_variance_clipped)
+        self.posterior_mean_coef1 = nnx.Variable(buf.posterior_mean_coef1)
+        self.posterior_mean_coef2 = nnx.Variable(buf.posterior_mean_coef2)
+
+    # ------------------------------------------------------------------ #
+    # Forward (q) process                                                 #
+    # ------------------------------------------------------------------ #
+
+    def q_mean_variance(self, x_start: jax.Array, t: jax.Array):
+        """Mean/var/log-var of q(x_t | x_0) (reference gaussian_diffusion.py:101-117)."""
+        mean = extract(self.sqrt_alphas_cumprod[...], t, x_start.shape) * x_start
+        variance = extract(1.0 - self.alphas_cumprod[...], t, x_start.shape)
+        log_variance = extract(self.log_one_minus_alphas_cumprod[...], t, x_start.shape)
+        return mean, variance, log_variance
+
+    def q_sample(
+        self,
+        x_start: jax.Array,
+        t: jax.Array,
+        key: jax.Array | None = None,
+        noise: jax.Array | None = None,
+    ) -> jax.Array:
+        """Sample x_t ~ q(x_t | x_0) (reference gaussian_diffusion.py:401-420)."""
+        if noise is None:
+            assert key is not None, "q_sample needs a key when noise is not given"
+            noise = jax.random.normal(key, shape=x_start.shape)
+        return (
+            extract(self.sqrt_alphas_cumprod[...], t, x_start.shape) * x_start
+            + extract(self.sqrt_one_minus_alphas_cumprod[...], t, x_start.shape) * noise
+        )
+
+    def predict_start_from_noise(self, x_t: jax.Array, t: jax.Array, noise: jax.Array) -> jax.Array:
+        """x_0 = sqrt(1/acp)*x_t - sqrt(1/acp - 1)*eps (reference gaussian_diffusion.py:120-136)."""
+        return (
+            extract(self.sqrt_recip_alphas_cumprod[...], t, x_t.shape) * x_t
+            - extract(self.sqrt_recipm1_alphas_cumprod[...], t, x_t.shape) * noise
+        )
+
+    def q_posterior(self, x_start: jax.Array, x_t: jax.Array, t: jax.Array):
+        """Mean/var/clipped-log-var of q(x_{t-1} | x_t, x_0) (reference :139-159)."""
+        posterior_mean = (
+            extract(self.posterior_mean_coef1[...], t, x_t.shape) * x_start
+            + extract(self.posterior_mean_coef2[...], t, x_t.shape) * x_t
+        )
+        posterior_variance = extract(self.posterior_variance[...], t, x_t.shape)
+        posterior_log_variance = extract(
+            self.posterior_log_variance_clipped[...], t, x_t.shape
+        )
+        return posterior_mean, posterior_variance, posterior_log_variance
+
+    # ------------------------------------------------------------------ #
+    # Reverse (p) process                                                 #
+    # ------------------------------------------------------------------ #
+
+    def p_mean_variance(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        clip_denoised: bool,
+        cond: jax.Array | None = None,
+        cond_scale: float = 1.0,
+    ):
+        """Reverse-step distribution via the denoiser (reference :162-228)."""
+        eps_bfhwc = self.denoise_fn.forward_with_cond_scale(
+            x, t, cond=cond, cond_scale=cond_scale
+        )
+        predicted_noise = rearrange(eps_bfhwc, "b f h w c -> b c f h w")
+        x_recon = self.predict_start_from_noise(x, t=t, noise=predicted_noise)
+
+        if clip_denoised:
+            s = 1.0
+            if self.use_dynamic_thres:
+                # Imagen dynamic thresholding: per-sample percentile of |x0|,
+                # floored at 1 (reference :205-217).
+                abs_flat = jnp.abs(x_recon.reshape(x_recon.shape[0], -1))
+                s = jnp.quantile(abs_flat, self.dynamic_thres_percentile, axis=-1)
+                s = jnp.maximum(s, 1.0)
+                s = s.reshape(-1, 1, 1, 1, 1)
+            x_recon = jnp.clip(x_recon, -s, s) / s
+
+        return self.q_posterior(x_start=x_recon, x_t=x, t=t)
+
+    def p_sample(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        key: jax.Array,
+        cond: jax.Array | None = None,
+        cond_scale: float = 1.0,
+        clip_denoised: bool = True,
+    ) -> jax.Array:
+        """One reverse step x_t -> x_{t-1} (reference :231-261)."""
+        model_mean, _, model_log_variance = self.p_mean_variance(
+            x=x, t=t, clip_denoised=clip_denoised, cond=cond, cond_scale=cond_scale
+        )
+        noise = jax.random.normal(key, shape=x.shape, dtype=x.dtype)
+        nonzero_mask = (1.0 - (t == 0).astype(jnp.float32)).reshape(-1, 1, 1, 1, 1)
+        return model_mean + nonzero_mask * jnp.exp(0.5 * model_log_variance) * noise
+
+    def p_sample_loop(
+        self,
+        shape: tuple[int, ...],
+        key: jax.Array,
+        cond: jax.Array | None = None,
+        cond_scale: float = 1.0,
+        mesh: Mesh | None = None,
+    ) -> jax.Array:
+        """Full reverse process as one on-device ``lax.scan`` (see module doc).
+
+        Improvements over reference :264-320 (kept semantically identical at
+        fixed seed for the unconditional path):
+
+        * single compiled program instead of T host dispatches;
+        * ``cond``/``cond_scale`` actually reach the denoiser (the reference's
+          distributed path silently dropped them, :299-301);
+        * the requested ``shape`` is honored (the reference rebuilt it from
+          model attributes, ignoring the argument beyond batch size).
+        """
+        batch_size = shape[0]
+        graphdef, state = nnx.split(self)
+
+        if mesh is None:
+            mesh = data_parallel_mesh()
+        n_shards = mesh.shape.get("data", 1)
+        batch_spec = (
+            P("data") if batch_size % max(n_shards, 1) == 0 and n_shards > 1 else P()
+        )
+        run = _build_sample_scan(
+            graphdef,
+            tuple(shape),
+            self.num_timesteps,
+            mesh,
+            batch_spec,
+            float(cond_scale),
+            has_cond=cond is not None,
+        )
+        if cond is None:
+            return run(state, key)
+        return run(state, key, cond)
+
+    def sample(
+        self,
+        key: jax.Array,
+        cond: Any = None,
+        cond_scale: float = 1.0,
+        batch_size: int = 16,
+        mesh: Mesh | None = None,
+    ) -> jax.Array:
+        """Generate samples; text conditions are tokenized+BERT-embedded.
+
+        Parity: reference :323-357.
+        """
+        if is_list_str(cond):
+            cond = jnp.asarray(
+                bert_embed(tokenize(cond), return_cls_repr=self.text_use_bert_cls)
+            )
+        if exists(cond):
+            batch_size = cond.shape[0]
+        sample_shape = (
+            batch_size,
+            self.channels,
+            self.num_frames,
+            self.image_size,
+            self.image_size,
+        )
+        return self.p_sample_loop(
+            shape=sample_shape, key=key, cond=cond, cond_scale=cond_scale, mesh=mesh
+        )
+
+    def interpolate(
+        self,
+        x1: jax.Array,
+        x2: jax.Array,
+        key: jax.Array,
+        t: int | None = None,
+        lam: float = 0.5,
+    ) -> jax.Array:
+        """Diffuse both inputs to step ``t``, lerp, and denoise back to 0.
+
+        Parity: reference :360-398, with its crash fixed — the reference
+        called ``p_sample`` without the required ``key`` (reference :396),
+        so its interpolate path could never run. Here the denoising loop is
+        the same on-device scan as sampling.
+        """
+        batch_size = x1.shape[0]
+        t = t if exists(t) else self.num_timesteps - 1
+        assert x1.shape == x2.shape, "inputs must have the same shape"
+        assert 0.0 <= lam <= 1.0, "lambda must be in [0, 1]"
+
+        graphdef, state = nnx.split(self)
+
+        @partial(jax.jit, static_argnums=(4, 5))
+        def run(state, x1, x2, key, t_static, lam_static):
+            model = nnx.merge(graphdef, state)
+            t_batched = jnp.full((batch_size,), t_static, jnp.int32)
+            key, k1, k2 = jax.random.split(key, 3)
+            xt1 = model.q_sample(x1, t=t_batched, key=k1)
+            xt2 = model.q_sample(x2, t=t_batched, key=k2)
+            img = (1 - lam_static) * xt1 + lam_static * xt2
+
+            def body(carry, i):
+                img, key = carry
+                key, step_key = jax.random.split(key)
+                cur_t = jnp.full((batch_size,), i, jnp.int32)
+                img = model.p_sample(img, cur_t, key=step_key)
+                return (img, key), None
+
+            (img, _), _ = jax.lax.scan(
+                body, (img, key), jnp.arange(t_static - 1, -1, -1)
+            )
+            return img
+
+        return run(state, x1, x2, key, int(t), float(lam))
+
+    # ------------------------------------------------------------------ #
+    # Training                                                            #
+    # ------------------------------------------------------------------ #
+
+    def p_losses(
+        self,
+        x_start: jax.Array,
+        t: jax.Array,
+        key: jax.Array,
+        cond: Any = None,
+        noise: jax.Array | None = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        """Denoising loss at timesteps ``t`` (reference :423-470).
+
+        Key chain parity: ``key -> (key, noise_key, q_sample_key)`` with the
+        noise drawn from ``noise_key``.
+        """
+        key, noise_key, q_sample_key = jax.random.split(key, 3)
+        if noise is None:
+            noise = jax.random.normal(noise_key, shape=x_start.shape)
+
+        x_noisy = self.q_sample(x_start=x_start, t=t, key=q_sample_key, noise=noise)
+
+        if is_list_str(cond):
+            cond = jnp.asarray(
+                bert_embed(tokenize(cond), return_cls_repr=self.text_use_bert_cls)
+            )
+
+        eps_bfhwc = self.denoise_fn(x_noisy, t, cond=cond, **kwargs)
+        predicted_noise = rearrange(eps_bfhwc, "b f h w c -> b c f h w")
+
+        if self.loss_type == "l1":
+            return jnp.mean(jnp.abs(predicted_noise - noise))
+        if self.loss_type == "l2":
+            return jnp.mean((predicted_noise - noise) ** 2)
+        raise ValueError(f"Unsupported loss type: {self.loss_type}")
+
+    def __call__(self, x: jax.Array, key: jax.Array, *args: Any, **kwargs: Any) -> jax.Array:
+        """Training entry: sample t, normalize, compute loss (reference :473-502).
+
+        Key chain parity: ``key -> (key, t_key, loss_key)``.
+        """
+        batch_size = x.shape[0]
+        check_shape(
+            x,
+            "b c f h w",
+            b=batch_size,
+            c=self.channels,
+            f=self.num_frames,
+            h=self.image_size,
+            w=self.image_size,
+        )
+        key, t_key, loss_key = jax.random.split(key, 3)
+        t = jax.random.randint(t_key, (batch_size,), 0, self.num_timesteps, dtype=jnp.int32)
+        x_normalized = normalize_img(x)
+        return self.p_losses(x_normalized, t, key=loss_key, *args, **kwargs)
