@@ -1,0 +1,497 @@
+"""Trainer: jit-compiled, mesh-sharded training loop with EMA and Orbax
+checkpointing.
+
+Parity surface: reference trainer.py:44-629. Constructor signature, config
+semantics (LR schedule shape, EMA cadence, checkpoint layout/cadence,
+resume-with-fresh-optimizer), and the 2-D ``(data, model)`` mesh with
+last-dim tensor-parallel parameter sharding are all preserved.
+
+TPU-first improvements over the reference hot loop:
+
+* **donated state** — the train state is donated to the compiled step, so
+  params/opt/EMA update in place in HBM instead of being double-buffered;
+* **prefetching input pipeline** — batches are shipped to device, already
+  sharded ``P('data')``, by a background thread while the previous step runs
+  (the reference paid torch->numpy->jnp->device on the critical path every
+  step, trainer.py:546-552);
+* **pipelined metrics** — the loss fetched each iteration is the *previous*
+  step's, so the host never blocks on the step it just dispatched (the
+  reference's ``device_get(loss)`` serialized host and device every step,
+  trainer.py:581);
+* **gradient clipping actually applied** when ``max_grad_norm`` is set (the
+  reference imported the clip but never called it, trainer.py:32);
+* **gradient accumulation implemented** (``lax.scan`` over microbatches)
+  behind ``enable_gradient_accumulation`` — the reference accepted the knob
+  and ignored it (trainer.py:99,158). Off by default so reference configs
+  behave identically.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx, struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import orbax.checkpoint as ocp
+from orbax.checkpoint import CheckpointManager
+
+from video_diffusion_nnx_tpu.data.loader import endless_prefetching_loader
+from video_diffusion_nnx_tpu.data.moving_mnist import MovingMNIST
+from video_diffusion_nnx_tpu.parallel.mesh import data_model_mesh
+from video_diffusion_nnx_tpu.parallel.sharding import (
+    named_shardings,
+    optimizer_partition_specs,
+    params_partition_specs,
+)
+from video_diffusion_nnx_tpu.training.metrics import create_summary_writer
+from video_diffusion_nnx_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from video_diffusion_nnx_tpu.utils.functional import noop
+from video_diffusion_nnx_tpu.utils.grad import clip_grad_norm
+
+logger = logging.getLogger(__name__)
+
+
+@struct.dataclass
+class NnxTrainState:
+    """Dynamic (sharded) training state; graphdef/tx stay static outside.
+
+    Parity: reference trainer.py:44-50.
+    """
+
+    params: nnx.State
+    opt_state: optax.OptState
+    ema_params: nnx.State
+
+
+class Trainer:
+    """Training runtime for a GaussianDiffusion model (reference trainer.py:52-392)."""
+
+    def __init__(
+        self,
+        diffusion_model: nnx.Module,
+        folder: str,
+        *,
+        rng_seed: int = 0,
+        dataset_path: str,
+        num_frames: int = 16,
+        train_batch_size: int = 4,
+        train_lr: float = 1e-4,
+        train_num_steps: int = 100000,
+        gradient_accumulate_every: int = 2,
+        step_start_ema: int = 2000,
+        update_ema_every: int = 10,
+        save_and_sample_every: int = 100000,
+        results_folder: str = "./results",
+        num_sample_rows: int = 4,
+        max_grad_norm: float | None = None,
+        use_path_as_cond: bool = False,
+        sample_text: str | None = None,
+        cond_scale: float = 2.0,
+        checkpoint_every_steps: int = 10,
+        checkpoint_dir_path: str = "",
+        add_loss_plot: bool = False,
+        tensorboard_dir: str = "",
+        resume_training_step: int = 0,
+        ema_decay: float = 0.9999,
+        max_to_keep: int | None = None,
+        lr_decay_start_step: int = 0,
+        lr_decay_steps: int = 0,
+        lr_decay_coeff: float = 1.0,
+        profile_flush_step: int = 100,
+        num_model_shards: int = 1,
+        enable_gradient_accumulation: bool = False,
+        prefetch_depth: int = 2,
+        dataset_normalize: bool = False,
+    ):
+        self.key = jax.random.PRNGKey(rng_seed)
+        self.profile_flush_step = profile_flush_step
+
+        # EMA configuration (reference trainer.py:130-132).
+        self.step_start_ema = step_start_ema
+        self.update_ema_every = update_ema_every
+        self.ema_decay = ema_decay
+
+        # --- Core components ---
+        self.model = diffusion_model
+        self.graphdef, init_params = nnx.split(self.model)
+
+        # Hold train_lr until lr_decay_start_step, then cosine-decay to
+        # train_lr * lr_decay_coeff over lr_decay_steps (reference :138-145).
+        self.lr_schedule = optax.piecewise_interpolate_schedule(
+            interpolate_type="cosine",
+            init_value=train_lr,
+            boundaries_and_scales={
+                lr_decay_start_step: 1.0,
+                lr_decay_start_step + lr_decay_steps: lr_decay_coeff,
+            },
+        )
+        self.tx = optax.adam(self.lr_schedule)
+        init_opt_state = self.tx.init(init_params)
+        # Real copies, not aliases: the train step donates the whole state,
+        # and XLA rejects donating the same buffer via two arguments.
+        init_ema_params = jax.tree_util.tree_map(jnp.copy, init_params)
+
+        # --- Training configuration ---
+        self.train_num_steps = train_num_steps
+        self.batch_size = train_batch_size
+        self.max_grad_norm = max_grad_norm
+        self.use_path_as_cond = use_path_as_cond
+        self.gradient_accumulate_every = gradient_accumulate_every
+        self.enable_gradient_accumulation = (
+            enable_gradient_accumulation and gradient_accumulate_every > 1
+        )
+        if self.enable_gradient_accumulation:
+            assert train_batch_size % gradient_accumulate_every == 0, (
+                "batch_size must divide into gradient_accumulate_every microbatches"
+            )
+
+        # --- Device mesh: (data, model) like reference :160-178 ---
+        self.n_devices = jax.local_device_count()
+        assert self.batch_size % self.n_devices == 0, (
+            "batch_size must be divisible by number of devices"
+        )
+        self.per_device_bs = self.batch_size // self.n_devices
+        self.num_model_shards = num_model_shards
+        self.data_axis_name = "data"
+        self.model_axis_name = "model"
+        self.mesh = data_model_mesh(self.n_devices, num_model_shards)
+        logger.info(
+            "Created mesh with shape: %s and axis_names: %s",
+            dict(self.mesh.shape),
+            self.mesh.axis_names,
+        )
+
+        # --- Sharding specs: reference TP heuristic over params/opt/EMA ---
+        abstract_params = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), init_params
+        )
+        param_specs = params_partition_specs(
+            abstract_params, self.model_axis_name, num_model_shards
+        )
+        abstract_opt = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x,
+            init_opt_state,
+        )
+        opt_specs = optimizer_partition_specs(param_specs, abstract_opt)
+        spec_tree = NnxTrainState(params=param_specs, opt_state=opt_specs, ema_params=param_specs)
+        self.train_state_sharding = named_shardings(self.mesh, spec_tree)
+        self.batch_sharding = NamedSharding(self.mesh, P(self.data_axis_name))
+        self.repl_sharding = NamedSharding(self.mesh, P())
+
+        self.state = NnxTrainState(
+            params=init_params, opt_state=init_opt_state, ema_params=init_ema_params
+        )
+
+        # --- Dataset & prefetching pipeline ---
+        self.image_size = diffusion_model.image_size
+        model_num_frames = diffusion_model.num_frames
+        logger.info("Loading dataset from: %s", dataset_path)
+        self.ds = MovingMNIST(
+            dataset_path,
+            image_size=(self.image_size, self.image_size),
+            num_frames=model_num_frames,
+            force_num_frames=True,
+            normalize=dataset_normalize,
+        )
+        num_samples = len(self.ds)
+        logger.info("Found %d sequences in dataset.", num_samples)
+        assert num_samples > 0, "Dataset is empty. Check path and format."
+        self._prefetch_depth = prefetch_depth
+        self._data_seed = rng_seed
+        self.dl = endless_prefetching_loader(
+            self.ds,
+            batch_size=self.batch_size,
+            sharding=self.batch_sharding,
+            seed=self._data_seed,
+            depth=prefetch_depth,
+        )
+
+        # --- Results / checkpointing (reference :260-273) ---
+        self.results_folder = Path(results_folder).resolve()
+        self.results_folder.mkdir(exist_ok=True, parents=True)
+        self.checkpoint_dir_path = (
+            Path(checkpoint_dir_path).resolve()
+            if checkpoint_dir_path
+            else (self.results_folder / "checkpoints").resolve()
+        )
+        self.checkpoint_dir_path.mkdir(exist_ok=True, parents=True)
+        self.checkpoint_every_steps = checkpoint_every_steps
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+        self.ckpt_manager = CheckpointManager(self.checkpoint_dir_path, options=options)
+        logger.info(
+            "Checkpoint manager initialized at %s with max_to_keep=%s",
+            self.checkpoint_dir_path,
+            max_to_keep,
+        )
+
+        # --- Metrics ---
+        self.tensorboard_dir = (
+            Path(tensorboard_dir).resolve()
+            if tensorboard_dir
+            else self.results_folder / "tensorboard"
+        )
+        self.tensorboard_dir.mkdir(exist_ok=True, parents=True)
+        self.writer = create_summary_writer(str(self.tensorboard_dir))
+
+        # --- Resume (reference :281-302; opt_state deliberately fresh) ---
+        self.step = resume_training_step
+        if self.step > 0:
+            logger.info("Attempting to resume training from step %d", self.step)
+            try:
+                model, ema_params = load_checkpoint(
+                    self.model, self.step, str(self.checkpoint_dir_path), self.ckpt_manager
+                )
+                if model is not None and ema_params is not None:
+                    self.state = NnxTrainState(
+                        params=nnx.split(model)[1],
+                        opt_state=init_opt_state,
+                        ema_params=ema_params,
+                    )
+                    logger.info("Successfully loaded checkpoint state for step %d", self.step)
+                else:
+                    logger.warning("Checkpoint loading returned None for step %d.", self.step)
+                    self.step = 0
+            except FileNotFoundError:
+                logger.warning(
+                    "Checkpoint for step %d not found at %s.", self.step, self.checkpoint_dir_path
+                )
+                self.step = 0
+
+        self.add_loss_plot = add_loss_plot
+        self.save_and_sample_every = save_and_sample_every
+        self.num_sample_rows = num_sample_rows
+        self.sample_text = sample_text
+        self.cond_scale = cond_scale
+
+        self._step_cache: dict = {}
+        self.p_train_step = self._build_train_step(prob_focus_present=0.0)
+
+    # ------------------------------------------------------------------ #
+    # Compiled train step                                                  #
+    # ------------------------------------------------------------------ #
+
+    def _build_train_step(self, prob_focus_present: float = 0.0) -> Callable:
+        """One fused XLA program: loss -> grads -> (clip) -> Adam -> EMA.
+
+        Mirrors reference trainer.py:322-392 semantically; state is donated,
+        hyperparameters are compile-time constants, and ``step`` stays a
+        traced scalar so no recompilation happens per step.
+        """
+        cached = self._step_cache.get(prob_focus_present)
+        if cached is not None:
+            return cached
+
+        graphdef = self.graphdef
+        tx = self.tx
+        use_path_as_cond = self.use_path_as_cond
+        step_start_ema = self.step_start_ema
+        update_ema_every = self.update_ema_every
+        ema_decay = self.ema_decay
+        max_grad_norm = self.max_grad_norm
+        accum = self.gradient_accumulate_every if self.enable_gradient_accumulation else 1
+
+        def loss_fn(params, batch_data, key):
+            model = nnx.merge(graphdef, params)
+            if use_path_as_cond:
+                video_data, cond_data = batch_data
+                return model(
+                    video_data,
+                    key=key,
+                    cond=cond_data,
+                    prob_focus_present=prob_focus_present,
+                    focus_present_mask=None,
+                )
+            return model(
+                batch_data,
+                key=key,
+                prob_focus_present=prob_focus_present,
+                focus_present_mask=None,
+            )
+
+        def grads_of(params, batch_data, key):
+            if accum == 1:
+                return jax.value_and_grad(loss_fn)(params, batch_data, key)
+
+            # Microbatch accumulation: (A, b/A, ...) scan keeps peak
+            # activation memory at one microbatch while matching the
+            # full-batch gradient in expectation.
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]), batch_data
+            )
+            keys = jax.random.split(key, accum)
+
+            def body(carry, xs):
+                loss_acc, grad_acc = carry
+                mb, k = xs
+                loss, grads = jax.value_and_grad(loss_fn)(params, mb, k)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (loss_acc + loss, grad_acc), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(body, (0.0, zero_grads), (micro, keys))
+            inv = 1.0 / accum
+            return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, grad_sum)
+
+        def train_step(state: NnxTrainState, batch_data, key, step):
+            loss, grads = grads_of(state.params, batch_data, key)
+
+            if max_grad_norm is not None:
+                grads, _ = clip_grad_norm(grads, max_grad_norm)
+
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            do_ema = jnp.logical_and(step >= step_start_ema, (step % update_ema_every) == 0)
+            new_ema_params = jax.lax.cond(
+                do_ema,
+                lambda: jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                    state.ema_params,
+                    new_params,
+                ),
+                lambda: state.ema_params,
+            )
+            new_state = state.replace(
+                params=new_params, opt_state=new_opt_state, ema_params=new_ema_params
+            )
+            return new_state, loss
+
+        batch_in = (
+            (self.batch_sharding, self.batch_sharding) if use_path_as_cond else self.batch_sharding
+        )
+        jitted = jax.jit(
+            train_step,
+            in_shardings=(
+                self.train_state_sharding,
+                batch_in,
+                self.repl_sharding,
+                self.repl_sharding,
+            ),
+            out_shardings=(self.train_state_sharding, self.repl_sharding),
+            donate_argnums=(0,),
+        )
+        self._step_cache[prob_focus_present] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------ #
+    # Loop                                                                 #
+    # ------------------------------------------------------------------ #
+
+    def train(
+        self,
+        prob_focus_present: float = 0.0,
+        focus_present_mask: Any = None,
+        log_fn: Callable = noop,
+    ) -> None:
+        """Run the training loop (reference trainer.py:508-629)."""
+        assert callable(log_fn)
+        logger.info("Starting training loop from step %d...", self.step)
+
+        step_fn = self._build_train_step(prob_focus_present=prob_focus_present)
+
+        key = self.key
+        try:
+            jax.profiler.start_server(9999)
+        except Exception as e:  # port already bound by a previous Trainer
+            logger.debug("profiler server not started: %s", e)
+
+        tracing = False
+        if self.profile_flush_step > 0:
+            Path(self.tensorboard_dir).mkdir(parents=True, exist_ok=True)
+            try:
+                jax.profiler.start_trace(str(self.tensorboard_dir), create_perfetto_link=False)
+                tracing = True
+                logger.info(
+                    "JAX profiler file trace started; flushing at step %d.",
+                    self.profile_flush_step,
+                )
+            except Exception as e:
+                logger.warning("profiler trace not started: %s", e)
+
+        pending: tuple[int, Any] | None = None  # (step, device loss) one step behind
+        last_dispatch = time.time()
+
+        while self.step < self.train_num_steps:
+            key, step_key = jax.random.split(key)
+            batch_data = next(self.dl)
+
+            self.state, loss_val = step_fn(
+                self.state, batch_data, step_key, jnp.asarray(self.step, jnp.int32)
+            )
+
+            now = time.time()
+            self.writer.add_scalar("step_time", now - last_dispatch, self.step)
+            last_dispatch = now
+
+            # Log the *previous* step's loss so the host never blocks on the
+            # step it just dispatched.
+            if pending is not None:
+                self._log_loss(pending[0], pending[1], log_fn)
+            pending = (self.step, loss_val)
+
+            if self.step > 0 and self.step % self.checkpoint_every_steps == 0:
+                logger.info("Step: %d | Saving checkpoint...", self.step)
+                self._save_checkpoint()
+
+            self.step += 1
+
+            if tracing and self.step == self.profile_flush_step:
+                jax.profiler.stop_trace()
+                tracing = False
+
+        if pending is not None:
+            self._log_loss(pending[0], pending[1], log_fn)
+        if tracing:
+            jax.profiler.stop_trace()
+
+        self.key = key
+        logger.info("Training completed!")
+        logger.info("Saving final checkpoint...")
+        self._save_checkpoint()
+
+        self.writer.close()
+        logger.info("TensorBoard logs saved to: %s", self.tensorboard_dir)
+
+    def _log_loss(self, step: int, loss_val, log_fn: Callable) -> None:
+        current_loss = float(jax.device_get(loss_val))
+        logger.info("Step: %d/%d | Loss: %.4f", step, self.train_num_steps, current_loss)
+        log_fn({"loss": current_loss, "step": step})
+        self.writer.add_scalar("loss/train", current_loss, step)
+        self.writer.add_scalar("lr/train", float(self.lr_schedule(step)), step)
+
+    def _save_checkpoint(self) -> None:
+        try:
+            state_to_save = jax.device_get(self.state)
+            save_checkpoint(
+                self.ckpt_manager, state_to_save.params, state_to_save.ema_params, self.step
+            )
+        except Exception as e:
+            logger.error("Error saving checkpoint at step %d: %s", self.step, e)
+
+    # ------------------------------------------------------------------ #
+    # Sampling from the trained model                                      #
+    # ------------------------------------------------------------------ #
+
+    def sample_batch(self, batch_size: int, use_ema: bool = True, key: jax.Array | None = None):
+        """Sample videos from the current (EMA by default) parameters.
+
+        The reference's version was a warning stub returning zeros
+        (trainer.py:492-506); this one actually samples via the on-device
+        scan sampler.
+        """
+        if key is None:
+            self.key, key = jax.random.split(self.key)
+        params = self.state.ema_params if use_ema else self.state.params
+        model = nnx.merge(self.graphdef, jax.device_get(params))
+        cond = [self.sample_text] * batch_size if self.sample_text else None
+        return model.sample(
+            key, cond=cond, cond_scale=self.cond_scale if cond else 1.0, batch_size=batch_size
+        )

@@ -56,6 +56,9 @@ def load_checkpoint(
     if ckpt_manager is None:
         ckpt_manager = ocp.CheckpointManager(path, options=ocp.CheckpointManagerOptions())
 
+    if step not in ckpt_manager.all_steps():
+        raise FileNotFoundError(f"no checkpoint for step {step} under {path}")
+
     graphdef, abstract_state = nnx.split(model)
     abstract = {"model": abstract_state, "ema_params": abstract_state}
     state_dict = ckpt_manager.restore(step, args=ocp_args.StandardRestore(abstract))
