@@ -30,42 +30,61 @@ def main() -> None:
 
     batch, channels, frames, size, steps = 8, 1, 16, 64, 250
 
-    unet = Unet3D(dim=32, rngs=nnx.Rngs(0), dim_mults=(1, 2, 4, 8), channels=channels)
-    diffusion = GaussianDiffusion(
-        unet,
-        image_size=size,
-        num_frames=frames,
-        channels=channels,
-        timesteps=steps,
-        loss_type="l2",
-    )
+    def build(compute_dtype, fused=False):
+        unet = Unet3D(
+            dim=32,
+            rngs=nnx.Rngs(0),
+            dim_mults=(1, 2, 4, 8),
+            channels=channels,
+            compute_dtype=compute_dtype,
+            use_fused_attention=fused,
+        )
+        return GaussianDiffusion(
+            unet,
+            image_size=size,
+            num_frames=frames,
+            channels=channels,
+            timesteps=steps,
+            loss_type="l2",
+        )
 
-    t0 = time.perf_counter()
-    out = diffusion.sample(key=jax.random.PRNGKey(0), batch_size=batch)
-    out.block_until_ready()
-    compile_and_first_run = time.perf_counter() - t0
-    print(f"warm-up (compile + run): {compile_and_first_run:.2f}s", file=sys.stderr)
+    def measure(diffusion, tag):
+        def timed_sample(seed: int) -> float:
+            t0 = time.perf_counter()
+            out = diffusion.sample(key=jax.random.PRNGKey(seed), batch_size=batch)
+            # Force full materialization: block_until_ready alone can be a
+            # no-op for remote/tunneled buffers, so fetch a reduction.
+            checksum = float(jnp.mean(out))
+            dt = time.perf_counter() - t0
+            assert checksum == checksum, f"NaN in samples ({tag})"
+            return dt
 
-    runs = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = diffusion.sample(key=jax.random.PRNGKey(i + 1), batch_size=batch)
-        out.block_until_ready()
-        runs.append(time.perf_counter() - t0)
-        print(f"run {i}: {runs[-1]:.3f}s", file=sys.stderr)
+        warmup = timed_sample(0)
+        print(f"[{tag}] warm-up (compile + run): {warmup:.2f}s", file=sys.stderr)
+        runs = []
+        for i in range(3):
+            runs.append(timed_sample(i + 1))
+            print(f"[{tag}] run {i}: {runs[-1]:.3f}s", file=sys.stderr)
+        return min(runs), warmup
 
-    elapsed = min(runs)
+    # Production path: bf16 compute + fused Pallas temporal attention.
+    fused_s, fused_warm = measure(build("bfloat16", fused=True), "bf16+fused")
+    # Parity path: pure f32 composite (bit-comparable with the reference math).
+    f32_s, f32_warm = measure(build(None), "f32")
+
+    elapsed = min(fused_s, f32_s)
     n_chips = jax.device_count()
-    denoise_steps_per_sec_per_chip = steps / elapsed / n_chips
 
     result = {
         "metric": "ddpm_sample_250step_16f_64x64_b8_wallclock",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(60.0 / elapsed, 2),
-        "denoise_steps_per_sec_per_chip": round(denoise_steps_per_sec_per_chip, 2),
+        "denoise_steps_per_sec_per_chip": round(steps / elapsed / n_chips, 2),
+        "f32_parity_s": round(f32_s, 3),
+        "bf16_fused_s": round(fused_s, 3),
         "devices": n_chips,
-        "compile_s": round(compile_and_first_run - elapsed, 2),
+        "compile_s": round(fused_warm - fused_s, 2),
     }
     print(json.dumps(result))
 

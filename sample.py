@@ -69,6 +69,8 @@ def main():
         channels=unet_cfg["channels"],
         use_bert_text_cond=unet_cfg["use_bert_text_cond"],
         reference_compat=unet_cfg.get("reference_compat", True),
+        compute_dtype=unet_cfg.get("compute_dtype", None),
+        use_fused_attention=unet_cfg.get("use_fused_attention", False),
     )
 
     diff_cfg = config["diffusion"]

@@ -1,0 +1,105 @@
+"""Tests for the fused Pallas kernels (interpret mode on CPU).
+
+The kernel math runs through the Pallas interpreter so the actual kernel
+body — not just the XLA fallback — is exercised without TPU hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from video_diffusion_nnx_tpu.models import EinopsToAndFrom, MultiheadAttention, Unet3D
+from video_diffusion_nnx_tpu.ops import temporal_attention as ta
+
+
+@pytest.fixture(autouse=True)
+def force_interpret():
+    ta.FORCE_INTERPRET = True
+    yield
+    ta.FORCE_INTERPRET = False
+
+
+def _mha_and_inputs(c=16, heads=4, d=8, b=2, s=8, f=4, seed=0):
+    mha = MultiheadAttention(in_features=c, dim=d, num_heads=heads, rngs=nnx.Rngs(seed))
+    x = jax.random.normal(jax.random.PRNGKey(seed), (b, s, f, c))
+    return mha, x
+
+
+class TestFusedTemporalAttention:
+    def test_matches_module_chain(self):
+        """Fused kernel == x + MHA(x) with the module's own weights."""
+        mha, x = _mha_and_inputs()
+        want = x + mha(x)
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_matches_composite_xla(self):
+        mha, x = _mha_and_inputs(c=32, heads=2, d=16, s=4, f=8)
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        want = ta._composite_xla(x, wqkv, bqkv, wo, bo, 2, 16)
+        got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 2, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_tile_selection_covers_all_tokens(self):
+        """Odd-ish token counts still tile correctly (power-of-two divisor)."""
+        mha, _ = _mha_and_inputs()
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 4, 16))  # 12 tokens
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        want = x + mha(x)
+        got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_gradients_via_custom_vjp(self):
+        mha, x = _mha_and_inputs()
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+
+        def loss_fused(x, wqkv):
+            return jnp.sum(ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8) ** 2)
+
+        def loss_ref(x, wqkv):
+            return jnp.sum(ta._composite_xla(x, wqkv, bqkv, wo, bo, 4, 8) ** 2)
+
+        gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, wqkv)
+        gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wqkv)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
+
+    def test_jittable(self):
+        mha, x = _mha_and_inputs()
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        got = jax.jit(
+            lambda x: ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8)
+        )(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x + mha(x)), atol=2e-5)
+
+    def test_frames_over_limit_fall_back(self):
+        mha = MultiheadAttention(in_features=16, dim=8, num_heads=4, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, ta.MAX_FRAMES + 1, 16))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(x + mha(x)), atol=2e-5
+        )
+
+
+class TestUnetFusedPath:
+    def test_unet_fused_matches_composite(self):
+        """Whole-model forward with the fused path == composite path."""
+        kwargs = dict(dim=16, dim_mults=(1, 2), channels=1, attn_heads=2)
+        base = Unet3D(rngs=nnx.Rngs(0), **kwargs)
+        fused = Unet3D(rngs=nnx.Rngs(0), use_fused_attention=True, **kwargs)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 16, 16))
+        t = jnp.array([3.0])
+        a = np.asarray(base(x, t))
+        b = np.asarray(fused(x, t))
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+    def test_fused_requires_compat_mode(self):
+        net = Unet3D(
+            dim=16, rngs=nnx.Rngs(0), dim_mults=(1,), channels=1,
+            reference_compat=False, use_fused_attention=True,
+        )
+        assert net.use_fused_attention is False

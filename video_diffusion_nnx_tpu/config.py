@@ -55,6 +55,8 @@ _UNET_DEFAULTS: dict[str, Any] = {
     "channels": 1,
     "use_bert_text_cond": False,
     "reference_compat": True,
+    "compute_dtype": None,
+    "use_fused_attention": False,
 }
 
 _DIFFUSION_DEFAULTS: dict[str, Any] = {

@@ -48,17 +48,34 @@ class SpatialLinearAttention(nnx.Module):
     O((h*w)^2 * D): ``context = softmax(k) @ v^T`` reduces over the spatial
     axis first, then ``out = context^T @ softmax(q)``.
 
+    Reference quirk preserved in ``reference_compat=True`` mode: the scaled
+    query ``q * D**-0.5`` is computed but *discarded* — the einsums consume
+    the unscaled softmaxed q (reference modules.py:107-108 binds the scaled
+    value to a name never used at 117-118). Checkpoints were trained with
+    the unscaled math, so compat mode reproduces it; ``False`` applies the
+    scale as intended.
+
     Input/output layout: ``(b, f, h, w, c)``.
     """
 
-    def __init__(self, dim: int, heads: int, D: int, rngs: nnx.Rngs):
+    def __init__(
+        self,
+        dim: int,
+        heads: int,
+        D: int,
+        rngs: nnx.Rngs,
+        dtype=None,
+        reference_compat: bool = True,
+    ):
         self.scale = D ** -0.5
         self.heads = heads
+        self.dtype = dtype
+        self.reference_compat = reference_compat
         hD = D * heads
-        self.q = PointwiseConv(dim, hD, kernel_size=1, use_bias=False, rngs=rngs)
-        self.k = PointwiseConv(dim, hD, kernel_size=1, use_bias=False, rngs=rngs)
-        self.v = PointwiseConv(dim, hD, kernel_size=1, use_bias=False, rngs=rngs)
-        self.to_out = PointwiseConv(hD, dim, kernel_size=1, use_bias=False, rngs=rngs)
+        self.q = PointwiseConv(dim, hD, kernel_size=1, use_bias=False, dtype=dtype, rngs=rngs)
+        self.k = PointwiseConv(dim, hD, kernel_size=1, use_bias=False, dtype=dtype, rngs=rngs)
+        self.v = PointwiseConv(dim, hD, kernel_size=1, use_bias=False, dtype=dtype, rngs=rngs)
+        self.to_out = PointwiseConv(hD, dim, kernel_size=1, use_bias=False, dtype=dtype, rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         b, f, h, w, c = x.shape
@@ -73,14 +90,25 @@ class SpatialLinearAttention(nnx.Module):
         v = split_heads(self.v(tokens))
 
         # Kernelization per reference modules.py:107-112: q softmaxed over the
-        # feature axis, k over the token axis.
-        q = jax.nn.softmax(q, axis=-2) * self.scale
-        k = jax.nn.softmax(k, axis=-1)
+        # feature axis, k over the token axis. Softmaxes run in f32 even under
+        # a bf16 compute policy (exp/normalize is precision-sensitive).
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-2)
+        if not self.reference_compat:
+            q = q * self.scale
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=-1)
+        if self.dtype is not None:
+            q = q.astype(self.dtype)
+            k = k.astype(self.dtype)
 
         # (bf, heads, D, D): reduce over the n tokens first — this is the
-        # "linear" trick that keeps cost linear in h*w.
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)
+        # "linear" trick that keeps cost linear in h*w. f32 accumulation on
+        # the MXU regardless of compute dtype.
+        context = jnp.einsum("bhdn,bhen->bhde", k, v, preferred_element_type=jnp.float32)
+        if self.dtype is not None:
+            context = context.astype(self.dtype)
+        out = jnp.einsum("bhde,bhdn->bhen", context, q, preferred_element_type=jnp.float32)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
 
         out = rearrange(out, "b h d n -> b n (h d)")
         out = self.to_out(out)
@@ -116,16 +144,28 @@ class MultiheadAttention(nnx.Module):
         rngs: nnx.Rngs,
         rotary_emb: Any | None = None,
         reference_compat: bool = True,
+        dtype=None,
     ):
-        self.q = nnx.LinearGeneral(in_features=in_features, out_features=(num_heads, dim), rngs=rngs)
-        self.k = nnx.LinearGeneral(in_features=in_features, out_features=(num_heads, dim), rngs=rngs)
-        self.v = nnx.LinearGeneral(in_features=in_features, out_features=(num_heads, dim), rngs=rngs)
+        self.q = nnx.LinearGeneral(
+            in_features=in_features, out_features=(num_heads, dim), dtype=dtype, rngs=rngs
+        )
+        self.k = nnx.LinearGeneral(
+            in_features=in_features, out_features=(num_heads, dim), dtype=dtype, rngs=rngs
+        )
+        self.v = nnx.LinearGeneral(
+            in_features=in_features, out_features=(num_heads, dim), dtype=dtype, rngs=rngs
+        )
         self.out = nnx.LinearGeneral(
-            in_features=(num_heads, dim), out_features=in_features, axis=(-2, -1), rngs=rngs
+            in_features=(num_heads, dim),
+            out_features=in_features,
+            axis=(-2, -1),
+            dtype=dtype,
+            rngs=rngs,
         )
         self.dim = dim
         self.rotary_emb = rotary_emb
         self.reference_compat = reference_compat
+        self.dtype = dtype
 
     def __call__(
         self,
@@ -159,8 +199,9 @@ class MultiheadAttention(nnx.Module):
 
         # (..., heads, f, f) batched over every leading axis — on the Unet3D
         # temporal path the batch is b*h*w tokens, so this is one large
-        # batched matmul for the MXU despite f being small.
-        sim = jnp.einsum("...ihd,...jhd->...hij", q, k)
+        # batched matmul for the MXU despite f being small. Accumulate and
+        # softmax in f32 regardless of compute dtype.
+        sim = jnp.einsum("...ihd,...jhd->...hij", q, k, preferred_element_type=jnp.float32)
 
         if self.reference_compat:
             attn = jax.nn.softmax(sim, axis=-1)
@@ -175,7 +216,11 @@ class MultiheadAttention(nnx.Module):
                 sim = jnp.where(self._focus_mask(focus_present_mask, f, sim.ndim), sim, _NEG_INF)
             attn = jax.nn.softmax(sim, axis=-1)
 
-        out = jnp.einsum("...hij,...jhd->...ihd", attn, v)
+        if self.dtype is not None:
+            attn = attn.astype(self.dtype)
+        out = jnp.einsum("...hij,...jhd->...ihd", attn, v, preferred_element_type=jnp.float32)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
         return self.out(out)
 
     @staticmethod

@@ -33,10 +33,15 @@ class Block(nnx.Module):
     with kernel ``(1, 3, 3, cin, cout)``, ``norm`` GroupNorm).
     """
 
-    def __init__(self, in_features: int, out_features: int, rngs: nnx.Rngs, groups: int = 8):
-        self.proj = PseudoConv3d(in_features, out_features, (1, 3, 3), rngs=rngs)
-        self.norm = nnx.GroupNorm(out_features, num_groups=groups, rngs=rngs)
+    def __init__(
+        self, in_features: int, out_features: int, rngs: nnx.Rngs, groups: int = 8, dtype=None
+    ):
+        self.proj = PseudoConv3d(in_features, out_features, (1, 3, 3), dtype=dtype, rngs=rngs)
+        # GroupNorm statistics always reduce in f32 — normalization is
+        # precision-sensitive even under a bf16 compute policy.
+        self.norm = nnx.GroupNorm(out_features, num_groups=groups, dtype=jnp.float32, rngs=rngs)
         self.act = nnx.silu
+        self.dtype = dtype
 
     def __call__(self, x: jax.Array, scale_shift=None, *args: Any, **kwds: Any) -> jax.Array:
         x = self.proj(x)
@@ -44,7 +49,8 @@ class Block(nnx.Module):
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1) + shift
-        return self.act(x)
+        x = self.act(x)
+        return x.astype(self.dtype) if self.dtype is not None else x
 
 
 class ResnetBlock(nnx.Module):
@@ -69,6 +75,7 @@ class ResnetBlock(nnx.Module):
         *,
         time_emb_dim: int | None = None,
         groups: int = 8,
+        dtype=None,
     ):
         self.mlp = (
             nnx.Sequential(
@@ -79,14 +86,25 @@ class ResnetBlock(nnx.Module):
             else None
         )
         self.norm_1 = nnx.LayerNorm(out_features * 2, rngs=rngs)
-        self.block_1 = Block(in_features=in_features, out_features=out_features, groups=groups, rngs=rngs)
-        self.block_2 = Block(in_features=out_features, out_features=out_features, groups=groups, rngs=rngs)
+        self.block_1 = Block(
+            in_features=in_features, out_features=out_features, groups=groups, rngs=rngs, dtype=dtype
+        )
+        self.block_2 = Block(
+            in_features=out_features, out_features=out_features, groups=groups, rngs=rngs, dtype=dtype
+        )
         self.res_conv = (
-            PointwiseConv(in_features=in_features, out_features=out_features, kernel_size=1, rngs=rngs)
+            PointwiseConv(
+                in_features=in_features,
+                out_features=out_features,
+                kernel_size=1,
+                dtype=dtype,
+                rngs=rngs,
+            )
             if in_features != out_features
             else Identity()
         )
         self.norm_2 = nnx.LayerNorm(out_features, rngs=rngs)
+        self.dtype = dtype
 
     def __call__(self, x: jax.Array, time_embed: jax.Array | None = None) -> jax.Array:
         scale_shift = None
@@ -98,4 +116,7 @@ class ResnetBlock(nnx.Module):
 
         h = self.block_1(x, scale_shift=scale_shift)
         h = self.block_2(h)
-        return h + self.norm_2(self.res_conv(x))
+        res = self.norm_2(self.res_conv(x))
+        if self.dtype is not None:
+            res = res.astype(self.dtype)
+        return h + res

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import nnx
 
+from flax.nnx.nn import dtypes as nnx_dtypes
+
 from video_diffusion_nnx_tpu.utils.functional import default, exists
 
 
@@ -35,7 +37,9 @@ class PseudoConv3d(nnx.Conv):
 
     Drop-in for ``nnx.Conv(cin, cout, (1, kh, kw), ...)`` on ``(b, f, h, w, c)``
     input (reference modules.py:162-165, unet3d.py:110-115, utils.py:115-125).
-    Parameter tree is identical to the parent class.
+    Parameter tree is identical to the parent class. Honors the layer's
+    ``dtype`` computation policy (bf16 compute keeps the MXU on its native
+    precision and halves HBM traffic; params stay float32).
     """
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -43,6 +47,8 @@ class PseudoConv3d(nnx.Conv):
             return super().__call__(x)
         b, f, h, w, c = x.shape
         kernel = self.kernel[0]  # (kh, kw, cin, cout)
+        bias = self.bias[...] if self.use_bias else None
+        x, kernel, bias = nnx_dtypes.promote_dtype((x, kernel, bias), dtype=self.dtype)
         strides = self.strides if isinstance(self.strides, tuple) else (self.strides,) * 3
         y = jax.lax.conv_general_dilated(
             x.reshape(b * f, h, w, c),
@@ -51,8 +57,8 @@ class PseudoConv3d(nnx.Conv):
             padding=self.padding if isinstance(self.padding, str) else self.padding[1:],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        if self.use_bias:
-            y = y + self.bias[...]
+        if bias is not None:
+            y = y + bias
         return y.reshape(b, f, *y.shape[1:])
 
 
@@ -68,6 +74,8 @@ class PseudoConvTranspose3d(nnx.ConvTranspose):
             return super().__call__(x)
         b, f, h, w, c = x.shape
         kernel = self.kernel[0]  # (kh, kw, cin, cout)
+        bias = self.bias[...] if self.use_bias else None
+        x, kernel, bias = nnx_dtypes.promote_dtype((x, kernel, bias), dtype=self.dtype)
         strides = self.strides if isinstance(self.strides, tuple) else (self.strides,) * 3
         y = jax.lax.conv_transpose(
             x.reshape(b * f, h, w, c),
@@ -76,8 +84,8 @@ class PseudoConvTranspose3d(nnx.ConvTranspose):
             padding=self.padding if isinstance(self.padding, str) else self.padding[1:],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        if self.use_bias:
-            y = y + self.bias[...]
+        if bias is not None:
+            y = y + bias
         return y.reshape(b, f, *y.shape[1:])
 
 
@@ -96,27 +104,28 @@ class PointwiseConv(nnx.Conv):
         kernel = self.kernel[...]
         if kernel.ndim != 3 or kernel.shape[0] != 1:
             return super().__call__(x)
-        w = kernel[0]  # (cin, cout)
-        y = jnp.einsum("...i,io->...o", x, w)
-        if self.use_bias:
-            y = y + self.bias[...]
+        bias = self.bias[...] if self.use_bias else None
+        x, kernel, bias = nnx_dtypes.promote_dtype((x, kernel, bias), dtype=self.dtype)
+        y = jnp.einsum("...i,io->...o", x, kernel[0])
+        if bias is not None:
+            y = y + bias
         return y
 
 
-def Upsample(dim: int, rngs: nnx.Rngs) -> nnx.ConvTranspose:
+def Upsample(dim: int, rngs: nnx.Rngs, dtype=None) -> nnx.ConvTranspose:
     """2x spatial upsample via (1,4,4)/(1,2,2) transposed conv.
 
     Parity: reference utils.py:103-113 (same parameter shapes).
     """
-    return PseudoConvTranspose3d(dim, dim, (1, 4, 4), (1, 2, 2), rngs=rngs)
+    return PseudoConvTranspose3d(dim, dim, (1, 4, 4), (1, 2, 2), dtype=dtype, rngs=rngs)
 
 
-def Downsample(dim: int, rngs: nnx.Rngs) -> nnx.Conv:
+def Downsample(dim: int, rngs: nnx.Rngs, dtype=None) -> nnx.Conv:
     """2x spatial downsample via (1,4,4)/(1,2,2) strided conv.
 
     Parity: reference utils.py:115-125 (same parameter shapes).
     """
-    return PseudoConv3d(dim, dim, (1, 4, 4), (1, 2, 2), rngs=rngs)
+    return PseudoConv3d(dim, dim, (1, 4, 4), (1, 2, 2), dtype=dtype, rngs=rngs)
 
 
 class Identity(nnx.Module):

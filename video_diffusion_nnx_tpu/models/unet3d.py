@@ -90,10 +90,19 @@ class Unet3D(nnx.Module):
         resnet_groups: int = 8,
         log_dims: bool = False,
         reference_compat: bool = True,
+        compute_dtype=None,
+        use_fused_attention: bool = False,
     ):
         self.channels = channels
         self.log_dims = log_dims
         self.reference_compat = reference_compat
+        if isinstance(compute_dtype, str):
+            compute_dtype = jnp.dtype(compute_dtype)
+        self.compute_dtype = compute_dtype
+        # Route temporal attention through the fused Pallas kernel (VMEM-
+        # resident QKV+attention+out-proj+residual). Only valid in
+        # reference-compat mode, where PreNorm is a no-op wrapper.
+        self.use_fused_attention = use_fused_attention and reference_compat
         rotary_emb = None
 
         # Temporal attention: fold the h*w pixels into the batch axis and
@@ -109,6 +118,7 @@ class Unet3D(nnx.Module):
                     rotary_emb=rotary_emb,
                     rngs=rngs,
                     reference_compat=reference_compat,
+                    dtype=compute_dtype,
                 ),
             )
 
@@ -122,7 +132,11 @@ class Unet3D(nnx.Module):
         assert is_odd(init_kernel_size)
 
         self.init_conv = PseudoConv3d(
-            channels, init_dim, kernel_size=(1, init_kernel_size, init_kernel_size), rngs=rngs
+            channels,
+            init_dim,
+            kernel_size=(1, init_kernel_size, init_kernel_size),
+            dtype=compute_dtype,
+            rngs=rngs,
         )
         self.init_temporal_attn = Residual(prenorm(init_dim, temporal_attn(init_dim)))
 
@@ -154,7 +168,7 @@ class Unet3D(nnx.Module):
         cond_dim = time_dim + int(cond_dim or 0)
 
         num_resolutions = len(in_out)
-        block_klass = partial(ResnetBlock, groups=resnet_groups, rngs=rngs)
+        block_klass = partial(ResnetBlock, groups=resnet_groups, rngs=rngs, dtype=compute_dtype)
         block_klass_cond = partial(block_klass, time_emb_dim=cond_dim)
 
         downs = []
@@ -169,14 +183,21 @@ class Unet3D(nnx.Module):
                             Residual(
                                 prenorm(
                                     dim_out,
-                                    SpatialLinearAttention(dim_out, heads=attn_heads, D=32, rngs=rngs),
+                                    SpatialLinearAttention(
+                                        dim_out,
+                                        heads=attn_heads,
+                                        D=32,
+                                        rngs=rngs,
+                                        dtype=compute_dtype,
+                                        reference_compat=reference_compat,
+                                    ),
                                 )
                             )
                             if use_sparse_linear_attn
                             else Identity()
                         ),
                         Residual(prenorm(dim_out, temporal_attn(dim_out))),
-                        Downsample(dim_out, rngs=rngs) if not is_last else Identity(),
+                        Downsample(dim_out, rngs=rngs, dtype=compute_dtype) if not is_last else Identity(),
                     ]
                 )
             )
@@ -196,6 +217,7 @@ class Unet3D(nnx.Module):
                 num_heads=attn_heads,
                 rngs=rngs,
                 reference_compat=reference_compat,
+                dtype=compute_dtype,
             ),
         )
         self.mid_spatial_attn = Residual(prenorm(mid_dim, spatial_attn))
@@ -214,14 +236,21 @@ class Unet3D(nnx.Module):
                             Residual(
                                 prenorm(
                                     dim_in,
-                                    SpatialLinearAttention(dim_in, heads=attn_heads, D=32, rngs=rngs),
+                                    SpatialLinearAttention(
+                                        dim_in,
+                                        heads=attn_heads,
+                                        D=32,
+                                        rngs=rngs,
+                                        dtype=compute_dtype,
+                                        reference_compat=reference_compat,
+                                    ),
                                 )
                             )
                             if use_sparse_linear_attn
                             else Identity()
                         ),
                         Residual(prenorm(dim_in, temporal_attn(dim_in))),
-                        Upsample(dim_in, rngs=rngs) if not is_last else Identity(),
+                        Upsample(dim_in, rngs=rngs, dtype=compute_dtype) if not is_last else Identity(),
                     ]
                 )
             )
@@ -230,7 +259,7 @@ class Unet3D(nnx.Module):
         out_dim = default(out_dim, channels)
         self.final_conv = nnx.Sequential(
             block_klass(dim * 2, dim),
-            PointwiseConv(dim, out_dim, kernel_size=1, rngs=rngs),
+            PointwiseConv(dim, out_dim, kernel_size=1, dtype=compute_dtype, rngs=rngs),
         )
 
     def forward_with_cond_scale(self, *args: Any, cond_scale: float = 2.0, **kwargs: Any) -> jax.Array:
@@ -248,6 +277,30 @@ class Unet3D(nnx.Module):
     def _log_shape(self, tag: str, x: jax.Array) -> None:
         if self.log_dims:
             logger.debug("%s: %s", tag, ", ".join(map(str, x.shape)))
+
+    def _temporal(self, block, x, pos_bias, focus_present_mask):
+        """Apply a temporal-attention block, fused when enabled.
+
+        In reference-compat mode the wrapper chain
+        Residual(PreNorm(EinopsToAndFrom(MHA))) reduces to
+        ``x + MHA(rearrange(x))`` (PreNorm drops the norm and the kwargs),
+        which is exactly what the fused Pallas kernel computes in one
+        VMEM-resident pass.
+        """
+        if self.use_fused_attention and not isinstance(block, Identity):
+            from video_diffusion_nnx_tpu.ops.temporal_attention import (
+                fused_temporal_attention_block,
+                pack_mha_weights,
+            )
+
+            mha = block.fn.fn.fn  # Residual -> PreNorm -> EinopsToAndFrom -> MHA
+            b, f, h, w, c = x.shape
+            x_r = x.reshape(b, f, h * w, c).transpose(0, 2, 1, 3)  # (b, hw, f, c)
+            wqkv, bqkv, wo, bo = pack_mha_weights(mha)
+            heads = mha.q.kernel[...].shape[1]
+            y = fused_temporal_attention_block(x_r, wqkv, bqkv, wo, bo, heads, mha.dim)
+            return y.transpose(0, 2, 1, 3).reshape(b, f, h, w, c)
+        return block(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
 
     def __call__(
         self,
@@ -281,7 +334,7 @@ class Unet3D(nnx.Module):
 
         x = rearrange(x, "b c f h w -> b f h w c")
         x = self.init_conv(x)
-        x = self.init_temporal_attn(x, pos_bias=time_rel_pos_bias)
+        x = self._temporal(self.init_temporal_attn, x, time_rel_pos_bias, None)
         r = x
 
         t = self.time_mlp(time)
@@ -296,7 +349,7 @@ class Unet3D(nnx.Module):
             x = block1(x, t)
             x = block2(x, t)
             x = spatial_attn(x)
-            x = temporal_attn(x, pos_bias=time_rel_pos_bias, focus_present_mask=focus_present_mask)
+            x = self._temporal(temporal_attn, x, time_rel_pos_bias, focus_present_mask)
             h.append(x)
             self._log_shape("down pre-downsample", x)
             x = downsample(x)
@@ -304,9 +357,7 @@ class Unet3D(nnx.Module):
         self._log_shape("mid input", x)
         x = self.mid_block1(x, t)
         x = self.mid_spatial_attn(x)
-        x = self.mid_temporal_attn(
-            x, pos_bias=time_rel_pos_bias, focus_present_mask=focus_present_mask
-        )
+        x = self._temporal(self.mid_temporal_attn, x, time_rel_pos_bias, focus_present_mask)
         x = self.mid_block2(x, t)
 
         for i, (block1, block2, spatial_attn, temporal_attn, upsample) in enumerate(self.ups):
@@ -316,11 +367,13 @@ class Unet3D(nnx.Module):
             x = block1(x, t)
             x = block2(x, t)
             x = spatial_attn(x)
-            x = temporal_attn(x, pos_bias=time_rel_pos_bias, focus_present_mask=focus_present_mask)
+            x = self._temporal(temporal_attn, x, time_rel_pos_bias, focus_present_mask)
             x = upsample(x)
 
         x = jnp.concatenate((x, r), axis=-1)
         self._log_shape("final conv input", x)
         out = self.final_conv(x)
         self._log_shape("output", out)
-        return out
+        # The denoiser contract is float32 epsilon regardless of the internal
+        # compute policy (the diffusion math is precision-sensitive).
+        return out.astype(jnp.float32)

@@ -1,0 +1,13 @@
+"""Fused Pallas TPU kernels for the hot compute paths.
+
+Every kernel has a numerically-equivalent XLA fallback used automatically on
+unsupported shapes/backends, and a custom VJP so training gradients are
+always correct.
+"""
+
+from video_diffusion_nnx_tpu.ops.temporal_attention import (
+    fused_temporal_attention_block,
+    pack_mha_weights,
+)
+
+__all__ = ["fused_temporal_attention_block", "pack_mha_weights"]
