@@ -122,3 +122,49 @@ class TestPrefetch:
         next(it)
         with pytest.raises(RuntimeError, match="boom"):
             next(it)
+
+
+class TestGifVideoDataset:
+    @pytest.fixture(scope="class")
+    def gif_folder(self, tmp_path_factory):
+        from video_diffusion_nnx_tpu.utils.media import video_array_to_gif
+
+        folder = tmp_path_factory.mktemp("gifs")
+        rng = np.random.default_rng(0)
+        for name in ("bouncing-ball.gif", "spinning_top.gif"):
+            vid = rng.integers(0, 256, size=(6, 12, 12, 1), dtype=np.uint8)
+            video_array_to_gif(vid, folder / name)
+        return folder
+
+    def test_item_shape_and_range(self, gif_folder):
+        from video_diffusion_nnx_tpu.data import GifVideoDataset
+
+        ds = GifVideoDataset(str(gif_folder), image_size=8, channels=1, num_frames=4)
+        assert len(ds) == 2
+        item = ds[0]
+        assert item.shape == (1, 4, 8, 8)
+        assert item.dtype == np.float32
+        assert 0.0 <= item.min() and item.max() <= 1.0
+
+    def test_frame_padding(self, gif_folder):
+        from video_diffusion_nnx_tpu.data import GifVideoDataset
+
+        ds = GifVideoDataset(str(gif_folder), image_size=8, channels=1, num_frames=10)
+        assert ds[0].shape == (1, 10, 8, 8)
+        assert float(np.abs(ds[0][:, 6:]).sum()) == 0.0
+
+    def test_path_as_cond(self, gif_folder):
+        from video_diffusion_nnx_tpu.data import GifVideoDataset
+
+        ds = GifVideoDataset(
+            str(gif_folder), image_size=8, channels=1, num_frames=4, use_path_as_cond=True
+        )
+        video, caption = ds[0]
+        assert video.shape == (1, 4, 8, 8)
+        assert caption == "bouncing ball"
+
+    def test_empty_folder_raises(self, tmp_path):
+        from video_diffusion_nnx_tpu.data import GifVideoDataset
+
+        with pytest.raises(FileNotFoundError):
+            GifVideoDataset(str(tmp_path), image_size=8)

@@ -103,3 +103,68 @@ class TestUnetFusedPath:
             reference_compat=False, use_fused_attention=True,
         )
         assert net.use_fused_attention is False
+
+
+from video_diffusion_nnx_tpu.models import SpatialLinearAttention
+from video_diffusion_nnx_tpu.ops import spatial_linear_attention as sla_ops
+
+
+@pytest.fixture(autouse=True)
+def force_sla_interpret():
+    sla_ops.FORCE_INTERPRET = True
+    yield
+    sla_ops.FORCE_INTERPRET = False
+
+
+class TestFusedSpatialLinearAttention:
+    def test_matches_module_chain_compat(self):
+        """Fused kernel == x + SLA(x) (compat: dropped q scale)."""
+        sla = SpatialLinearAttention(16, heads=4, D=8, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4, 16))
+        want = x + sla(x)
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        got = sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, 4, 8, 1.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_matches_module_chain_fixed_scale(self):
+        sla = SpatialLinearAttention(
+            16, heads=4, D=8, rngs=nnx.Rngs(0), reference_compat=False
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4, 16))
+        want = x + sla(x)
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        got = sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, 4, 8, sla.scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_gradients_via_custom_vjp(self):
+        sla = SpatialLinearAttention(8, heads=2, D=4, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 8))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+
+        def loss_fused(x, wqkv):
+            return jnp.sum(
+                sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, 2, 4, 1.0) ** 2
+            )
+
+        def loss_ref(x, wqkv):
+            return jnp.sum(sla_ops._composite_xla(x, wqkv, wo, 2, 4, 1.0) ** 2)
+
+        gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, wqkv)
+        gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wqkv)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
+
+    def test_unet_fused_spatial_and_temporal_matches(self):
+        kwargs = dict(dim=16, dim_mults=(1, 2), channels=1, attn_heads=2)
+        base = Unet3D(rngs=nnx.Rngs(0), **kwargs)
+        fused = Unet3D(
+            rngs=nnx.Rngs(0),
+            use_fused_attention=True,
+            use_fused_spatial_attention=True,
+            **kwargs,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 16, 16))
+        t = jnp.array([3.0])
+        np.testing.assert_allclose(
+            np.asarray(base(x, t)), np.asarray(fused(x, t)), atol=1e-4
+        )

@@ -92,6 +92,7 @@ class Unet3D(nnx.Module):
         reference_compat: bool = True,
         compute_dtype=None,
         use_fused_attention: bool = False,
+        use_fused_spatial_attention: bool = False,
     ):
         self.channels = channels
         self.log_dims = log_dims
@@ -103,6 +104,11 @@ class Unet3D(nnx.Module):
         # resident QKV+attention+out-proj+residual). Only valid in
         # reference-compat mode, where PreNorm is a no-op wrapper.
         self.use_fused_attention = use_fused_attention and reference_compat
+        # The fused spatial-linear-attention kernel is opt-in separately: its
+        # current per-frame/per-head schedule measures *slower* than XLA's
+        # composite at the shipped model shapes (32-lane arrays pad 4x on the
+        # VPU); kept for iteration, correct and tested.
+        self.use_fused_spatial_attention = use_fused_spatial_attention and reference_compat
         rotary_emb = None
 
         # Temporal attention: fold the h*w pixels into the batch axis and
@@ -302,6 +308,29 @@ class Unet3D(nnx.Module):
             return y.transpose(0, 2, 1, 3).reshape(b, f, h, w, c)
         return block(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
 
+    def _spatial(self, block, x):
+        """Apply a spatial-linear-attention block, fused when enabled.
+
+        Residual(PreNorm(SpatialLinearAttention)) in compat mode reduces to
+        ``x + SLA(x)`` with the reference's dropped q scale — one
+        VMEM-resident Pallas program per frame.
+        """
+        if self.use_fused_spatial_attention and not isinstance(block, Identity):
+            from video_diffusion_nnx_tpu.ops.spatial_linear_attention import (
+                fused_spatial_linear_attention_block,
+                pack_sla_weights,
+            )
+
+            sla = block.fn.fn  # Residual -> PreNorm -> SpatialLinearAttention
+            wqkv, wo = pack_sla_weights(sla)
+            hd = wo.shape[0]
+            dim = hd // sla.heads
+            scale = 1.0 if sla.reference_compat else sla.scale
+            return fused_spatial_linear_attention_block(
+                x, wqkv, wo, sla.heads, dim, scale
+            )
+        return block(x)
+
     def __call__(
         self,
         x: jax.Array,
@@ -348,7 +377,7 @@ class Unet3D(nnx.Module):
         for block1, block2, spatial_attn, temporal_attn, downsample in self.downs:
             x = block1(x, t)
             x = block2(x, t)
-            x = spatial_attn(x)
+            x = self._spatial(spatial_attn, x)
             x = self._temporal(temporal_attn, x, time_rel_pos_bias, focus_present_mask)
             h.append(x)
             self._log_shape("down pre-downsample", x)
@@ -366,7 +395,7 @@ class Unet3D(nnx.Module):
             self._log_shape(f"up {i} post-concat", x)
             x = block1(x, t)
             x = block2(x, t)
-            x = spatial_attn(x)
+            x = self._spatial(spatial_attn, x)
             x = self._temporal(temporal_attn, x, time_rel_pos_bias, focus_present_mask)
             x = upsample(x)
 

@@ -5,9 +5,18 @@ unsupported shapes/backends, and a custom VJP so training gradients are
 always correct.
 """
 
+from video_diffusion_nnx_tpu.ops.spatial_linear_attention import (
+    fused_spatial_linear_attention_block,
+    pack_sla_weights,
+)
 from video_diffusion_nnx_tpu.ops.temporal_attention import (
     fused_temporal_attention_block,
     pack_mha_weights,
 )
 
-__all__ = ["fused_temporal_attention_block", "pack_mha_weights"]
+__all__ = [
+    "fused_spatial_linear_attention_block",
+    "fused_temporal_attention_block",
+    "pack_mha_weights",
+    "pack_sla_weights",
+]

@@ -1,0 +1,187 @@
+"""Fused spatial linear attention block as a Pallas TPU kernel.
+
+Replaces the composite XLA path for the Unet3D spatial attention block
+(``Residual(PreNorm(SpatialLinearAttention))`` in reference-compat mode,
+reference unet3d.py:169-181 + modules.py:64-129):
+
+    out = x + to_out( q_softmax(q(x)) . (k_softmax(k(x))^T @ v(x)) )
+
+with the reference's dropped-q-scale quirk (modules.py:107-108) preserved —
+the kernel computes exactly the compat-mode math.
+
+Why fuse
+--------
+Like temporal attention, the block is HBM-bound: q/k/v are ``heads*32``
+channels regardless of the level width (512 MB each at the top level in
+f32). The linear-attention contraction ``context = softmax(k)^T @ v`` is a
+``(D, n) @ (n, D)`` matmul per (frame, head) — a genuine MXU reduction over
+the big ``n = h*w`` axis. One program per frame keeps the whole chain
+(projections, both softmaxes, two matmuls, output projection, residual) in
+VMEM; heads are peeled by lane-slicing the packed projection weights (no
+lane-splitting reshapes, which Mosaic rejects).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FORCE_INTERPRET = False
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, heads, dim, scale):
+    n = x_ref.shape[1]
+    c = x_ref.shape[-1]
+    x = x_ref[0]  # (n, c) — one frame's spatial tokens
+    xf = x.astype(jnp.float32)
+
+    # fori_loop over heads so Mosaic reuses one head's buffers across
+    # iterations (a Python unroll holds every head's q/k/v live at once and
+    # blows the 16 MB VMEM budget at n = 64*64). Weights are head-major
+    # (H, c, D) so the per-head slice is a supported leading-dim index.
+    def head_body(h, y):
+        q = jnp.dot(xf, wq_ref[h], preferred_element_type=jnp.float32)  # (n, D)
+        k = jnp.dot(xf, wk_ref[h], preferred_element_type=jnp.float32)
+        v = jnp.dot(xf, wv_ref[h], preferred_element_type=jnp.float32)
+
+        # q: softmax over the feature axis (per token); reference-compat
+        # drops the q scale (scale == 1.0 in compat mode).
+        q = q - jnp.max(q, axis=-1, keepdims=True)
+        eq = jnp.exp(q)
+        q = eq / jnp.sum(eq, axis=-1, keepdims=True)
+        if scale != 1.0:
+            q = q * scale
+
+        # k: softmax over the token axis (per feature).
+        k = k - jnp.max(k, axis=0, keepdims=True)
+        ek = jnp.exp(k)
+        k = ek / jnp.sum(ek, axis=0, keepdims=True)
+
+        # context[d, e] = sum_n k[n, d] v[n, e]: (D, n) @ (n, D) on the MXU.
+        context = jax.lax.dot_general(
+            k, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, D)
+        # out[n, e] = sum_d q[n, d] context[d, e].
+        o_h = jnp.dot(q, context, preferred_element_type=jnp.float32)  # (n, D)
+        contrib = jnp.dot(o_h, wo_ref[h], preferred_element_type=jnp.float32)
+        return y + contrib  # (n, c)
+
+    y = jax.lax.fori_loop(0, heads, head_body, jnp.zeros((n, c), jnp.float32))
+    out_ref[0] = x + y.astype(x.dtype)
+
+
+def _composite_xla(x, wqkv, wo, heads: int, dim: int, scale: float):
+    """Compat-mode math in plain XLA (fallback + custom-VJP backward)."""
+    b, f, hh, ww, c = x.shape
+    n = hh * ww
+    t = x.reshape(b * f, n, c)
+    qkv = jnp.einsum("bnc,ck->bnk", t, wqkv)
+    hd = heads * dim
+
+    def split(a, i):
+        part = a[..., i * hd : (i + 1) * hd]
+        return part.reshape(b * f, n, heads, dim)
+
+    q, k, v = split(qkv, 0), split(qkv, 1), split(qkv, 2)
+    q = jax.nn.softmax(q, axis=-1)
+    if scale != 1.0:
+        q = q * scale
+    k = jax.nn.softmax(k, axis=1)
+    context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+    o = jnp.einsum("bnhd,bhde->bnhe", q, context)
+    o = o.reshape(b * f, n, hd)
+    y = jnp.einsum("bnk,kc->bnc", o, wo)
+    return x + y.reshape(b, f, hh, ww, c)
+
+
+def _pad128(d: int) -> int:
+    return ((d + 127) // 128) * 128
+
+
+def _supported(x, heads: int, dim: int) -> bool:
+    if x.ndim != 5:
+        return False
+    _, _, hh, ww, c = x.shape
+    n = hh * ww
+    # Live VMEM per program, accounting for Mosaic's lane padding to 128:
+    # x + y + out (c lanes) and one head's q/k/v + softmax temporaries
+    # (dim lanes). Measured headroom: the compiler's stack estimate runs
+    # ~2x this, so budget conservatively.
+    live = 4 * n * (3 * _pad128(c) + 6 * _pad128(dim))
+    if live > _VMEM_BUDGET_BYTES:
+        return False
+    if FORCE_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_spatial_linear_attention_block(x, wqkv, wo, heads: int, dim: int, scale: float):
+    """``x + SpatialLinearAttention(x)``; x is ``(b, f, h, w, c)``.
+
+    ``wqkv``: ``(c, 3*heads*dim)`` packed q|k|v 1x1-conv kernels (no biases —
+    the reference's projections are bias-free); ``wo``: ``(heads*dim, c)``.
+    ``scale``: 1.0 for reference-compat (dropped scale), ``dim**-0.5`` fixed.
+    """
+    return _forward(x, wqkv, wo, heads, dim, scale)
+
+
+def _forward(x, wqkv, wo, heads, dim, scale):
+    if not _supported(x, heads, dim):
+        return _composite_xla(x, wqkv, wo, heads, dim, scale)
+    b, f, hh, ww, c = x.shape
+    n = hh * ww
+    frames = b * f
+    xt = x.reshape(frames, n, c)
+    hd = heads * dim
+    # Head-major weight views for leading-dim indexing inside the kernel.
+    wq = jnp.transpose(wqkv[:, :hd].reshape(c, heads, dim), (1, 0, 2))
+    wk = jnp.transpose(wqkv[:, hd : 2 * hd].reshape(c, heads, dim), (1, 0, 2))
+    wv = jnp.transpose(wqkv[:, 2 * hd :].reshape(c, heads, dim), (1, 0, 2))
+    wo3 = wo.reshape(heads, dim, c)
+    kernel = functools.partial(_kernel, heads=heads, dim=dim, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(frames,),
+        in_specs=[
+            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, dim, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((frames, n, c), x.dtype),
+        interpret=FORCE_INTERPRET,
+    )(wq, wk, wv, wo3, xt)
+    return out.reshape(b, f, hh, ww, c)
+
+
+def _fwd(x, wqkv, wo, heads, dim, scale):
+    return _forward(x, wqkv, wo, heads, dim, scale), (x, wqkv, wo)
+
+
+def _bwd(heads, dim, scale, residuals, g):
+    x, wqkv, wo = residuals
+    _, vjp = jax.vjp(lambda *a: _composite_xla(*a, heads, dim, scale), x, wqkv, wo)
+    return vjp(g)
+
+
+fused_spatial_linear_attention_block.defvjp(_fwd, _bwd)
+
+
+def pack_sla_weights(sla) -> tuple[jax.Array, jax.Array]:
+    """Pack a SpatialLinearAttention module's 1x1-conv kernels for the kernel."""
+    c = sla.q.kernel[...].shape[1]
+    wq = sla.q.kernel[...][0]  # (c, H*D)
+    wk = sla.k.kernel[...][0]
+    wv = sla.v.kernel[...][0]
+    wqkv = jnp.concatenate([wq, wk, wv], axis=-1)
+    wo = sla.to_out.kernel[...][0]  # (H*D, c)
+    return wqkv, wo
