@@ -68,9 +68,21 @@ def main() -> None:
         return min(runs), warmup
 
     # Production path: bf16 compute + fused Pallas temporal attention.
-    fused_s, fused_warm = measure(build("bfloat16", fused=True), "bf16+fused")
+    prod = build("bfloat16", fused=True)
+    fused_s, fused_warm = measure(prod, "bf16+fused")
     # Parity path: pure f32 composite (bit-comparable with the reference math).
     f32_s, f32_warm = measure(build(None), "f32")
+
+    # Fast-sampler capability beyond the reference: 50-step DDIM.
+    def timed_ddim(seed: int) -> float:
+        t0 = time.perf_counter()
+        out = prod.ddim_sample(key=jax.random.PRNGKey(seed), batch_size=batch, num_steps=50)
+        assert float(jnp.mean(out)) == float(jnp.mean(out))
+        return time.perf_counter() - t0
+
+    timed_ddim(0)  # compile
+    ddim_s = min(timed_ddim(i + 1) for i in range(3))
+    print(f"[ddim-50] best: {ddim_s:.3f}s", file=sys.stderr)
 
     elapsed = min(fused_s, f32_s)
     n_chips = jax.device_count()
@@ -83,6 +95,7 @@ def main() -> None:
         "denoise_steps_per_sec_per_chip": round(steps / elapsed / n_chips, 2),
         "f32_parity_s": round(f32_s, 3),
         "bf16_fused_s": round(fused_s, 3),
+        "ddim_50step_s": round(ddim_s, 3),
         "devices": n_chips,
         "compile_s": round(fused_warm - fused_s, 2),
     }

@@ -22,13 +22,16 @@ from video_diffusion_nnx_tpu.models import Unet3D
 def main():
     print("devices:", jax.devices(), file=sys.stderr)
     b, c, f, s = 1, 1, 32, 128
+    # Training uses the composite attention path: the fused kernel's
+    # custom-VJP backward (XLA recompute of the whole block) overwhelms the
+    # compile pipeline at this scale. Fused attention is a sampling-path
+    # optimization (fwd-only: 204 ms -> 82 ms at this shape).
     unet = Unet3D(
         dim=32,
         rngs=nnx.Rngs(0),
         dim_mults=(1, 2, 4, 8),
         channels=c,
         compute_dtype="bfloat16",
-        use_fused_attention=True,
     )
     diffusion = GaussianDiffusion(
         unet, image_size=s, num_frames=f, channels=c, timesteps=1000, loss_type="l2"

@@ -264,3 +264,39 @@ class TestInterpolate:
         x = jnp.zeros(SHAPE)
         with pytest.raises(AssertionError):
             diffusion.interpolate(x, x, key=jax.random.PRNGKey(0), lam=1.5)
+
+
+class TestDDIM:
+    def test_ddim_shape_and_finite(self, diffusion):
+        out = diffusion.ddim_sample(key=jax.random.PRNGKey(0), batch_size=2, num_steps=5)
+        assert out.shape == SHAPE
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_ddim_eta_zero_deterministic_across_noise_keys(self, diffusion):
+        """At eta=0 only the init noise matters; per-step keys are unused."""
+        a = diffusion.ddim_sample(key=jax.random.PRNGKey(5), batch_size=1, num_steps=5)
+        b = diffusion.ddim_sample(key=jax.random.PRNGKey(5), batch_size=1, num_steps=5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_ddim_with_zero_denoiser_contracts_to_clip_range(self, diffusion):
+        """eps=0 => x0 = x/sqrt(acp) clipped; final unnormalized output in [0,1]."""
+        out = diffusion.ddim_sample(key=jax.random.PRNGKey(0), batch_size=1, num_steps=10)
+        o = np.asarray(out)
+        assert o.min() >= -0.01 and o.max() <= 1.01
+
+    def test_ddim_stochastic_eta(self, diffusion):
+        a = diffusion.ddim_sample(
+            key=jax.random.PRNGKey(1), batch_size=1, num_steps=5, eta=1.0
+        )
+        b = diffusion.ddim_sample(
+            key=jax.random.PRNGKey(2), batch_size=1, num_steps=5, eta=1.0
+        )
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_ddim_sharded(self, diffusion):
+        from video_diffusion_nnx_tpu.parallel import data_parallel_mesh
+
+        out = diffusion.ddim_sample(
+            key=jax.random.PRNGKey(0), batch_size=8, num_steps=4, mesh=data_parallel_mesh(8)
+        )
+        assert out.shape == (8, C, F, H, W)

@@ -287,6 +287,94 @@ class GaussianDiffusion(nnx.Module):
             return run(state, key)
         return run(state, key, cond)
 
+    def ddim_sample(
+        self,
+        key: jax.Array,
+        cond: Any = None,
+        cond_scale: float = 1.0,
+        batch_size: int = 16,
+        num_steps: int = 50,
+        eta: float = 0.0,
+        mesh: Mesh | None = None,
+    ) -> jax.Array:
+        """DDIM sampling (Song et al. 2021) — a fast sampler beyond the
+        reference's capabilities: 20-50 denoise steps instead of the full
+        T-step DDPM chain, deterministic at ``eta=0``.
+
+        Runs as one on-device ``lax.scan`` over a strided timestep
+        subsequence, reusing the same trained denoiser and schedule buffers.
+        """
+        if is_list_str(cond):
+            cond = jnp.asarray(
+                bert_embed(tokenize(cond), return_cls_repr=self.text_use_bert_cls)
+            )
+        if exists(cond):
+            batch_size = cond.shape[0]
+        shape = (batch_size, self.channels, self.num_frames, self.image_size, self.image_size)
+
+        graphdef, state = nnx.split(self)
+        if mesh is None:
+            mesh = data_parallel_mesh()
+        n_shards = mesh.shape.get("data", 1)
+        batch_spec = (
+            P("data") if batch_size % max(n_shards, 1) == 0 and n_shards > 1 else P()
+        )
+        repl = NamedSharding(mesh, P())
+        img_sharding = NamedSharding(mesh, batch_spec)
+
+        # Strided timestep subsequence T-1 -> 0 and its shifted successor
+        # (prev index; -1 terminates at alpha_cumprod = 1).
+        times = jnp.linspace(0, self.num_timesteps - 1, num_steps).round().astype(jnp.int32)
+        times = times[::-1]
+        times_prev = jnp.concatenate([times[1:], jnp.array([-1], jnp.int32)])
+        acp = self.alphas_cumprod[...]
+
+        cs = float(cond_scale)
+        et = float(eta)
+
+        def run(state, key, cond=None):
+            model = nnx.merge(graphdef, state)
+            key, init_key = jax.random.split(key)
+            img = jax.random.normal(init_key, shape)
+            img = jax.lax.with_sharding_constraint(img, img_sharding)
+
+            def body(carry, tt):
+                img, key = carry
+                t, t_prev = tt
+                key, step_key = jax.random.split(key)
+                t_arr = jnp.full((batch_size,), t, jnp.int32)
+
+                eps = model.denoise_fn.forward_with_cond_scale(
+                    img, t_arr, cond=cond, cond_scale=cs
+                )
+                eps = rearrange(eps, "b f h w c -> b c f h w")
+                x0 = model.predict_start_from_noise(img, t=t_arr, noise=eps)
+                x0 = jnp.clip(x0, -1.0, 1.0)
+
+                a_t = acp[t]
+                a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+                # Re-derive eps from the clipped x0 (standard DDIM practice).
+                eps_hat = (img - jnp.sqrt(a_t) * x0) / jnp.sqrt(1.0 - a_t)
+                sigma = (
+                    et
+                    * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
+                    * jnp.sqrt(1.0 - a_t / a_prev)
+                )
+                dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps_hat
+                noise = jax.random.normal(step_key, img.shape, img.dtype)
+                img = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
+                img = jax.lax.with_sharding_constraint(img, img_sharding)
+                return (img, key), None
+
+            (img, _), _ = jax.lax.scan(body, (img, key), (times, times_prev))
+            return unnormalize_img(img)
+
+        shardings = (repl, repl) if cond is None else (repl, repl, repl)
+        jitted = jax.jit(run, in_shardings=shardings, out_shardings=img_sharding)
+        if cond is None:
+            return jitted(state, key)
+        return jitted(state, key, cond)
+
     def sample(
         self,
         key: jax.Array,

@@ -77,11 +77,15 @@ def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, heads, dim, scale
 
 
 def _composite_xla(x, wqkv, wo, heads: int, dim: int, scale: float):
-    """Compat-mode math in plain XLA (fallback + custom-VJP backward)."""
+    """Compat-mode math in plain XLA (fallback + custom-VJP backward).
+
+    Output dtype is exactly ``x.dtype`` — the custom VJP requires forward
+    (Pallas) and backward-recompute paths to agree on JAX types.
+    """
     b, f, hh, ww, c = x.shape
     n = hh * ww
     t = x.reshape(b * f, n, c)
-    qkv = jnp.einsum("bnc,ck->bnk", t, wqkv)
+    qkv = jnp.einsum("bnc,ck->bnk", t, wqkv.astype(x.dtype))
     hd = heads * dim
 
     def split(a, i):
@@ -89,15 +93,15 @@ def _composite_xla(x, wqkv, wo, heads: int, dim: int, scale: float):
         return part.reshape(b * f, n, heads, dim)
 
     q, k, v = split(qkv, 0), split(qkv, 1), split(qkv, 2)
-    q = jax.nn.softmax(q, axis=-1)
+    q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(x.dtype)
     if scale != 1.0:
-        q = q * scale
-    k = jax.nn.softmax(k, axis=1)
-    context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-    o = jnp.einsum("bnhd,bhde->bnhe", q, context)
+        q = q * jnp.asarray(scale, x.dtype)
+    k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(x.dtype)
+    context = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
+    o = jnp.einsum("bnhd,bhde->bnhe", q, context.astype(x.dtype))
     o = o.reshape(b * f, n, hd)
-    y = jnp.einsum("bnk,kc->bnc", o, wo)
-    return x + y.reshape(b, f, hh, ww, c)
+    y = jnp.einsum("bnk,kc->bnc", o, wo.astype(x.dtype))
+    return x + y.reshape(b, f, hh, ww, c).astype(x.dtype)
 
 
 def _pad128(d: int) -> int:

@@ -116,17 +116,24 @@ def _choose_tile(tokens: int, f: int, c: int, heads: int, dim: int) -> int:
 
 
 def _composite_xla(x, wqkv, bqkv, wo, bo, heads: int, dim: int):
-    """Reference math in plain XLA (fallback + custom-VJP backward)."""
+    """Reference math in plain XLA (fallback + custom-VJP backward).
+
+    Output dtype is exactly ``x.dtype`` — the custom VJP requires forward
+    (Pallas) and backward-recompute paths to agree on JAX types.
+    """
     b, s, f, c = x.shape
     scale = 1.0 / math.sqrt(dim)
-    qkv = jnp.einsum("bsfc,ck->bsfk", x, wqkv) + bqkv
+    qkv = (
+        jnp.einsum("bsfc,ck->bsfk", x, wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)
+    )
     qkv = qkv.reshape(b, s, f, 3, heads, dim)
     q, k, v = qkv[..., 0, :, :] * scale, qkv[..., 1, :, :], qkv[..., 2, :, :]
     sim = jnp.einsum("bsihd,bsjhd->bshij", q, k, preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(sim, axis=-1)
     o = jnp.einsum("bshij,bsjhd->bsihd", attn.astype(x.dtype), v)
     o = o.reshape(b, s, f, heads * dim)
-    return x + jnp.einsum("bsfk,kc->bsfc", o, wo) + bo
+    y = jnp.einsum("bsfk,kc->bsfc", o, wo.astype(x.dtype)) + bo.astype(x.dtype)
+    return x + y.astype(x.dtype)
 
 
 def _supported(x, f: int) -> bool:
