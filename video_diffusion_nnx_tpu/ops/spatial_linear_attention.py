@@ -34,45 +34,68 @@ FORCE_INTERPRET = False
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
-def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, heads, dim, scale):
+def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, group, dim, scale):
+    """One frame per program; heads processed in 128-lane groups.
+
+    Heads are ``dim`` (typically 32) wide — processing one at a time wastes
+    3/4 of every vector register (lanes pad to 128) and 3/4 of the MXU
+    output width. Instead ``group = 128 // dim`` heads are projected
+    together as (n, group*dim) panels; per-head softmax statistics are
+    computed on lane-sliced sub-panels, and the (gd, gd) context matrix is
+    masked block-diagonal so heads never mix. ``fori_loop`` over the head
+    groups keeps one group's buffers live at a time.
+    """
     n = x_ref.shape[1]
     c = x_ref.shape[-1]
+    gd = group * dim
     x = x_ref[0]  # (n, c) — one frame's spatial tokens
     xf = x.astype(jnp.float32)
 
-    # fori_loop over heads so Mosaic reuses one head's buffers across
-    # iterations (a Python unroll holds every head's q/k/v live at once and
-    # blows the 16 MB VMEM budget at n = 64*64). Weights are head-major
-    # (H, c, D) so the per-head slice is a supported leading-dim index.
-    def head_body(h, y):
-        q = jnp.dot(xf, wq_ref[h], preferred_element_type=jnp.float32)  # (n, D)
-        k = jnp.dot(xf, wk_ref[h], preferred_element_type=jnp.float32)
-        v = jnp.dot(xf, wv_ref[h], preferred_element_type=jnp.float32)
+    # Block-diagonal mask zeroing cross-head context entries.
+    row = jax.lax.broadcasted_iota(jnp.int32, (gd, gd), 0) // dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (gd, gd), 1) // dim
+    block_mask = (row == col).astype(jnp.float32)
 
-        # q: softmax over the feature axis (per token); reference-compat
-        # drops the q scale (scale == 1.0 in compat mode).
-        q = q - jnp.max(q, axis=-1, keepdims=True)
-        eq = jnp.exp(q)
-        q = eq / jnp.sum(eq, axis=-1, keepdims=True)
+    def group_body(g, y):
+        q = jnp.dot(xf, wq_ref[g], preferred_element_type=jnp.float32)  # (n, gd)
+        k = jnp.dot(xf, wk_ref[g], preferred_element_type=jnp.float32)
+        v = jnp.dot(xf, wv_ref[g], preferred_element_type=jnp.float32)
+
+        # q: softmax over each head's dim-wide feature block (per token).
+        # Reference-compat drops the q scale (scale == 1.0 in compat mode).
+        stats = []
+        for h in range(group):
+            blk = q[:, h * dim : (h + 1) * dim]
+            m = jnp.max(blk, axis=-1, keepdims=True)  # (n, 1)
+            stats.append(jnp.broadcast_to(m, (n, dim)))
+        q = jnp.exp(q - jnp.concatenate(stats, axis=-1))
+        sums = []
+        for h in range(group):
+            blk = q[:, h * dim : (h + 1) * dim]
+            s = jnp.sum(blk, axis=-1, keepdims=True)
+            sums.append(jnp.broadcast_to(s, (n, dim)))
+        q = q / jnp.concatenate(sums, axis=-1)
         if scale != 1.0:
             q = q * scale
 
-        # k: softmax over the token axis (per feature).
+        # k: softmax over the token axis (column-wise; head-independent).
         k = k - jnp.max(k, axis=0, keepdims=True)
         ek = jnp.exp(k)
         k = ek / jnp.sum(ek, axis=0, keepdims=True)
 
-        # context[d, e] = sum_n k[n, d] v[n, e]: (D, n) @ (n, D) on the MXU.
+        # context[d, e] = sum_n k[n, d] v[n, e] for the whole group, then
+        # masked block-diagonal so only within-head pairs survive.
         context = jax.lax.dot_general(
             k, v, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (D, D)
-        # out[n, e] = sum_d q[n, d] context[d, e].
-        o_h = jnp.dot(q, context, preferred_element_type=jnp.float32)  # (n, D)
-        contrib = jnp.dot(o_h, wo_ref[h], preferred_element_type=jnp.float32)
+        )  # (gd, gd)
+        context = context * block_mask
+        o_g = jnp.dot(q, context, preferred_element_type=jnp.float32)  # (n, gd)
+        contrib = jnp.dot(o_g, wo_ref[g], preferred_element_type=jnp.float32)
         return y + contrib  # (n, c)
 
-    y = jax.lax.fori_loop(0, heads, head_body, jnp.zeros((n, c), jnp.float32))
+    n_groups = wq_ref.shape[0]
+    y = jax.lax.fori_loop(0, n_groups, group_body, jnp.zeros((n, c), jnp.float32))
     out_ref[0] = x + y.astype(x.dtype)
 
 
@@ -144,20 +167,27 @@ def _forward(x, wqkv, wo, heads, dim, scale):
     frames = b * f
     xt = x.reshape(frames, n, c)
     hd = heads * dim
-    # Head-major weight views for leading-dim indexing inside the kernel.
-    wq = jnp.transpose(wqkv[:, :hd].reshape(c, heads, dim), (1, 0, 2))
-    wk = jnp.transpose(wqkv[:, hd : 2 * hd].reshape(c, heads, dim), (1, 0, 2))
-    wv = jnp.transpose(wqkv[:, 2 * hd :].reshape(c, heads, dim), (1, 0, 2))
-    wo3 = wo.reshape(heads, dim, c)
-    kernel = functools.partial(_kernel, heads=heads, dim=dim, scale=scale)
+    # Heads per 128-lane group (at least 1; heads must divide evenly).
+    group = max(1, min(heads, 128 // dim))
+    while heads % group != 0:
+        group -= 1
+    n_groups = heads // group
+    gd = group * dim
+    # Group-major weight views for leading-dim indexing inside the kernel:
+    # (n_groups, c, group*dim) with heads laid out contiguously per group.
+    wq = jnp.transpose(wqkv[:, :hd].reshape(c, n_groups, gd), (1, 0, 2))
+    wk = jnp.transpose(wqkv[:, hd : 2 * hd].reshape(c, n_groups, gd), (1, 0, 2))
+    wv = jnp.transpose(wqkv[:, 2 * hd :].reshape(c, n_groups, gd), (1, 0, 2))
+    wo3 = wo.reshape(n_groups, gd, c)
+    kernel = functools.partial(_kernel, group=group, dim=dim, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid=(frames,),
         in_specs=[
-            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, dim, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
