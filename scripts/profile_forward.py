@@ -55,6 +55,17 @@ def main():
     forward_time(
         "fused + no spatial attn", use_fused_attention=True, use_sparse_linear_attn=False
     )
+    forward_time(
+        "fused temporal + fused spatial",
+        use_fused_attention=True,
+        use_fused_spatial_attention=True,
+    )
+    forward_time(
+        "all fused + bf16",
+        use_fused_attention=True,
+        use_fused_spatial_attention=True,
+        compute_dtype="bfloat16",
+    )
 
     # Isolated fused kernel vs composite at level-0 shape.
     c, heads, d = 32, 8, 32

@@ -196,3 +196,43 @@ class TestGradFeatures:
         assert set(NnxTrainState.__dataclass_fields__) == {
             "params", "opt_state", "ema_params",
         }
+
+
+class TestTextConditionedTraining:
+    def test_gif_folder_with_path_cond(self, tmp_path):
+        """End-to-end: GIF folder -> caption embeddings -> conditioned UNet."""
+        from video_diffusion_nnx_tpu.utils.media import video_array_to_gif
+
+        gif_dir = tmp_path / "gifs"
+        gif_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(8):
+            vid = rng.integers(0, 256, size=(3, SIZE, SIZE, 1), dtype=np.uint8)
+            video_array_to_gif(vid, gif_dir / f"clip-{i}.gif")
+
+        from video_diffusion_nnx_tpu.models.text import BERT_MODEL_DIM
+
+        unet = Unet3D(
+            dim=8, rngs=nnx.Rngs(0), dim_mults=(1,), channels=1, attn_heads=2,
+            cond_dim=BERT_MODEL_DIM,
+        )
+        diff = GaussianDiffusion(
+            unet, image_size=SIZE, num_frames=FRAMES, channels=1, timesteps=T, loss_type="l2"
+        )
+        tr = Trainer(
+            diff,
+            folder=str(tmp_path),
+            rng_seed=0,
+            dataset_path=str(gif_dir),
+            train_batch_size=B,
+            train_num_steps=2,
+            use_path_as_cond=True,
+            checkpoint_every_steps=100,
+            results_folder=str(tmp_path / "results"),
+            tensorboard_dir=str(tmp_path / "tb"),
+            profile_flush_step=0,
+        )
+        logged = []
+        tr.train(log_fn=lambda d: logged.append(d))
+        assert len(logged) == 2
+        assert all(np.isfinite(d["loss"]) for d in logged)

@@ -111,6 +111,17 @@ def device_prefetch(
     def put(batch):
         if sharding is None:
             return jax.device_put(batch)
+        if jax.process_count() > 1:
+            # Multi-host: each process holds its local slice of the global
+            # batch; assemble a global jax.Array across hosts.
+            shardings = (
+                sharding
+                if isinstance(sharding, tuple)
+                else jax.tree_util.tree_map(lambda _: sharding, batch)
+            )
+            return jax.tree_util.tree_map(
+                lambda b, s: jax.make_array_from_process_local_data(s, b), batch, shardings
+            )
         return jax.device_put(batch, sharding)
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -126,13 +137,37 @@ def device_prefetch(
         thread.stop()
 
 
+def collate_with_text_cond(items: list) -> tuple:
+    """Collate ``(video, caption)`` items into ``(videos, cond_embeddings)``.
+
+    Captions are tokenized + BERT-embedded on the host inside the prefetch
+    thread, so the device only ever sees dense ``(b, BERT_MODEL_DIM)``
+    conditioning vectors — this is the collate to pair with
+    ``Trainer(use_path_as_cond=True)`` and ``GifVideoDataset(use_path_as_cond=True)``.
+    """
+    from video_diffusion_nnx_tpu.models.text import bert_embed, tokenize
+
+    videos = np.stack([v for v, _ in items], axis=0)
+    captions = [c for _, c in items]
+    cond = bert_embed(tokenize(captions)).astype(np.float32)
+    return videos, cond
+
+
 def endless_prefetching_loader(
     dataset: Sequence,
     batch_size: int,
     sharding: jax.sharding.Sharding | None = None,
     seed: int = 0,
     depth: int = 2,
+    collate_fn: Callable[[list], Any] | None = None,
 ) -> Iterator[Any]:
     """Endless shuffled sharded-on-device batch stream (the trainer's feed)."""
-    loader = DataLoader(dataset, batch_size=batch_size, shuffle=True, drop_last=True, seed=seed)
+    loader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=True,
+        drop_last=True,
+        seed=seed,
+        collate_fn=collate_fn,
+    )
     return device_prefetch(cycle(loader), sharding=sharding, depth=depth)

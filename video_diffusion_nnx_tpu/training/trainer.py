@@ -194,24 +194,46 @@ class Trainer:
         self.image_size = diffusion_model.image_size
         model_num_frames = diffusion_model.num_frames
         logger.info("Loading dataset from: %s", dataset_path)
-        self.ds = MovingMNIST(
-            dataset_path,
-            image_size=(self.image_size, self.image_size),
-            num_frames=model_num_frames,
-            force_num_frames=True,
-            normalize=dataset_normalize,
-        )
+        collate_fn = None
+        if Path(dataset_path).is_dir():
+            # Folder of GIF clips (optionally caption-conditioned via
+            # filename, collated to dense BERT embeddings on the host).
+            from video_diffusion_nnx_tpu.data.gif_dataset import GifVideoDataset
+            from video_diffusion_nnx_tpu.data.loader import collate_with_text_cond
+
+            self.ds = GifVideoDataset(
+                dataset_path,
+                image_size=self.image_size,
+                channels=diffusion_model.channels,
+                num_frames=model_num_frames,
+                force_num_frames=True,
+                use_path_as_cond=use_path_as_cond,
+            )
+            if use_path_as_cond:
+                collate_fn = collate_with_text_cond
+        else:
+            self.ds = MovingMNIST(
+                dataset_path,
+                image_size=(self.image_size, self.image_size),
+                num_frames=model_num_frames,
+                force_num_frames=True,
+                normalize=dataset_normalize,
+            )
         num_samples = len(self.ds)
         logger.info("Found %d sequences in dataset.", num_samples)
         assert num_samples > 0, "Dataset is empty. Check path and format."
         self._prefetch_depth = prefetch_depth
         self._data_seed = rng_seed
+        batch_shardings = (
+            (self.batch_sharding, self.batch_sharding) if use_path_as_cond else self.batch_sharding
+        )
         self.dl = endless_prefetching_loader(
             self.ds,
             batch_size=self.batch_size,
-            sharding=self.batch_sharding,
+            sharding=batch_shardings,
             seed=self._data_seed,
             depth=prefetch_depth,
+            collate_fn=collate_fn,
         )
 
         # --- Results / checkpointing (reference :260-273) ---
