@@ -115,3 +115,58 @@ class TestShardedExecution:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(jnp.ones((8, 4)) @ w), atol=1e-5
         )
+
+
+class TestSequenceParallelAttention:
+    def test_matches_unsharded_reference(self):
+        """Frame-sharded attention over a 'seq' axis == single-device MHA."""
+        from flax import nnx
+
+        from video_diffusion_nnx_tpu.models import MultiheadAttention
+        from video_diffusion_nnx_tpu.ops.temporal_attention import pack_mha_weights
+        from video_diffusion_nnx_tpu.parallel.sequence import (
+            sequence_parallel_temporal_attention,
+        )
+
+        heads, dim, c = 2, 4, 8
+        mha = MultiheadAttention(in_features=c, dim=dim, num_heads=heads, rngs=nnx.Rngs(0))
+        wqkv, bqkv, wo, bo = pack_mha_weights(mha)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, c))  # 16 frames
+
+        mesh = make_mesh((8,), ("seq",))
+        got = sequence_parallel_temporal_attention(
+            x, wqkv, bqkv, wo, bo, heads, dim, mesh=mesh
+        )
+        want = x + mha(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_jit_with_sharded_input(self):
+        from flax import nnx
+
+        from video_diffusion_nnx_tpu.models import MultiheadAttention
+        from video_diffusion_nnx_tpu.ops.temporal_attention import pack_mha_weights
+        from video_diffusion_nnx_tpu.parallel.sequence import (
+            sequence_parallel_temporal_attention,
+        )
+
+        heads, dim, c = 2, 4, 8
+        mha = MultiheadAttention(in_features=c, dim=dim, num_heads=heads, rngs=nnx.Rngs(0))
+        wqkv, bqkv, wo, bo = pack_mha_weights(mha)
+        mesh = make_mesh((8,), ("seq",))
+        from jax.sharding import NamedSharding
+
+        x = jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, c)),
+            NamedSharding(mesh, P(None, None, "seq", None)),
+        )
+
+        @jax.jit
+        def f(x):
+            return sequence_parallel_temporal_attention(
+                x, wqkv, bqkv, wo, bo, heads, dim, mesh=mesh
+            )
+
+        out = f(x)
+        assert out.shape == x.shape
+        # Output stays frame-sharded.
+        assert "seq" in str(out.sharding)

@@ -13,6 +13,9 @@ from video_diffusion_nnx_tpu.parallel.mesh import (
     initialize_distributed,
     make_mesh,
 )
+from video_diffusion_nnx_tpu.parallel.sequence import (
+    sequence_parallel_temporal_attention,
+)
 from video_diffusion_nnx_tpu.parallel.sharding import (
     mirror_partition_spec,
     named_shardings,
@@ -35,4 +38,5 @@ __all__ = [
     "params_partition_specs",
     "path_entry_to_str",
     "path_to_names",
+    "sequence_parallel_temporal_attention",
 ]
