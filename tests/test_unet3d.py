@@ -199,3 +199,28 @@ class TestReferenceCompatSwitch:
             return nnx.merge(graphdef, state)(x, t)
 
         assert fwd(state, video, times).shape == (B, F, H, W, C)
+
+
+class TestRemat:
+    def test_remat_forward_matches(self, video, times):
+        base = Unet3D(dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C)
+        rem = Unet3D(dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C, remat_blocks=True)
+        np.testing.assert_allclose(
+            np.asarray(base(video, times)), np.asarray(rem(video, times)), atol=1e-5
+        )
+
+    def test_remat_gradients_match(self, video, times):
+        def grads_of(net):
+            graphdef, state = nnx.split(net)
+
+            def loss(state):
+                return jnp.sum(nnx.merge(graphdef, state)(video, times) ** 2)
+
+            return jax.grad(loss)(state)
+
+        base = Unet3D(dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C)
+        rem = Unet3D(dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C, remat_blocks=True)
+        ga = jax.tree_util.tree_leaves(grads_of(base))
+        gb = jax.tree_util.tree_leaves(grads_of(rem))
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)

@@ -62,6 +62,11 @@ from video_diffusion_nnx_tpu.utils.functional import default, exists, is_odd, pr
 logger = logging.getLogger(__name__)
 
 
+@nnx.remat
+def _remat_resnet(block, x, t):
+    return block(x, t)
+
+
 class Unet3D(nnx.Module):
     """3-D U-Net denoiser for video diffusion (reference unet3d.py:21-252).
 
@@ -93,6 +98,7 @@ class Unet3D(nnx.Module):
         compute_dtype=None,
         use_fused_attention: bool = False,
         use_fused_spatial_attention: bool = False,
+        remat_blocks: bool = False,
     ):
         self.channels = channels
         self.log_dims = log_dims
@@ -109,6 +115,10 @@ class Unet3D(nnx.Module):
         # composite at the shipped model shapes (32-lane arrays pad 4x on the
         # VPU); kept for iteration, correct and tested.
         self.use_fused_spatial_attention = use_fused_spatial_attention and reference_compat
+        # Rematerialize ResnetBlock activations in the backward pass: trades
+        # ~30% more forward FLOPs for O(levels) less activation memory —
+        # the enabler for 32-frame/128x128-scale training on one chip.
+        self.remat_blocks = remat_blocks
         rotary_emb = None
 
         # Temporal attention: fold the h*w pixels into the batch axis and
@@ -284,6 +294,11 @@ class Unet3D(nnx.Module):
         if self.log_dims:
             logger.debug("%s: %s", tag, ", ".join(map(str, x.shape)))
 
+    def _resnet(self, block, x, t):
+        if self.remat_blocks:
+            return _remat_resnet(block, x, t)
+        return block(x, t)
+
     def _temporal(self, block, x, pos_bias, focus_present_mask):
         """Apply a temporal-attention block, fused when enabled.
 
@@ -375,8 +390,8 @@ class Unet3D(nnx.Module):
 
         h = []
         for block1, block2, spatial_attn, temporal_attn, downsample in self.downs:
-            x = block1(x, t)
-            x = block2(x, t)
+            x = self._resnet(block1, x, t)
+            x = self._resnet(block2, x, t)
             x = self._spatial(spatial_attn, x)
             x = self._temporal(temporal_attn, x, time_rel_pos_bias, focus_present_mask)
             h.append(x)
@@ -384,17 +399,17 @@ class Unet3D(nnx.Module):
             x = downsample(x)
 
         self._log_shape("mid input", x)
-        x = self.mid_block1(x, t)
+        x = self._resnet(self.mid_block1, x, t)
         x = self.mid_spatial_attn(x)
         x = self._temporal(self.mid_temporal_attn, x, time_rel_pos_bias, focus_present_mask)
-        x = self.mid_block2(x, t)
+        x = self._resnet(self.mid_block2, x, t)
 
         for i, (block1, block2, spatial_attn, temporal_attn, upsample) in enumerate(self.ups):
             skip = h.pop()
             x = jnp.concatenate((x, skip), axis=-1)
             self._log_shape(f"up {i} post-concat", x)
-            x = block1(x, t)
-            x = block2(x, t)
+            x = self._resnet(block1, x, t)
+            x = self._resnet(block2, x, t)
             x = self._spatial(spatial_attn, x)
             x = self._temporal(temporal_attn, x, time_rel_pos_bias, focus_present_mask)
             x = upsample(x)
