@@ -366,7 +366,11 @@ class Trainer:
             loss, grads = grads_of(state.params, batch_data, key)
 
             if max_grad_norm is not None:
-                grads, _ = clip_grad_norm(grads, max_grad_norm)
+                grads, grad_norm = clip_grad_norm(grads, max_grad_norm)
+            else:
+                from video_diffusion_nnx_tpu.utils.grad import global_l2_norm
+
+                grad_norm = global_l2_norm(grads)
 
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -384,7 +388,7 @@ class Trainer:
             new_state = state.replace(
                 params=new_params, opt_state=new_opt_state, ema_params=new_ema_params
             )
-            return new_state, loss
+            return new_state, (loss, grad_norm)
 
         batch_in = (
             (self.batch_sharding, self.batch_sharding) if use_path_as_cond else self.batch_sharding
@@ -397,7 +401,10 @@ class Trainer:
                 self.repl_sharding,
                 self.repl_sharding,
             ),
-            out_shardings=(self.train_state_sharding, self.repl_sharding),
+            out_shardings=(
+                self.train_state_sharding,
+                (self.repl_sharding, self.repl_sharding),
+            ),
             donate_argnums=(0,),
         )
         self._step_cache[prob_focus_present] = jitted
@@ -438,14 +445,14 @@ class Trainer:
             except Exception as e:
                 logger.warning("profiler trace not started: %s", e)
 
-        pending: tuple[int, Any] | None = None  # (step, device loss) one step behind
+        pending: tuple | None = None  # (step, loss, grad_norm) one step behind
         last_dispatch = time.time()
 
         while self.step < self.train_num_steps:
             key, step_key = jax.random.split(key)
             batch_data = next(self.dl)
 
-            self.state, loss_val = step_fn(
+            self.state, (loss_val, grad_norm) = step_fn(
                 self.state, batch_data, step_key, jnp.asarray(self.step, jnp.int32)
             )
 
@@ -456,8 +463,8 @@ class Trainer:
             # Log the *previous* step's loss so the host never blocks on the
             # step it just dispatched.
             if pending is not None:
-                self._log_loss(pending[0], pending[1], log_fn)
-            pending = (self.step, loss_val)
+                self._log_loss(pending[0], pending[1], pending[2], log_fn)
+            pending = (self.step, loss_val, grad_norm)
 
             if self.step > 0 and self.step % self.checkpoint_every_steps == 0:
                 logger.info("Step: %d | Saving checkpoint...", self.step)
@@ -470,7 +477,7 @@ class Trainer:
                 tracing = False
 
         if pending is not None:
-            self._log_loss(pending[0], pending[1], log_fn)
+            self._log_loss(pending[0], pending[1], pending[2], log_fn)
         if tracing:
             jax.profiler.stop_trace()
 
@@ -482,12 +489,13 @@ class Trainer:
         self.writer.close()
         logger.info("TensorBoard logs saved to: %s", self.tensorboard_dir)
 
-    def _log_loss(self, step: int, loss_val, log_fn: Callable) -> None:
+    def _log_loss(self, step: int, loss_val, grad_norm, log_fn: Callable) -> None:
         current_loss = float(jax.device_get(loss_val))
         logger.info("Step: %d/%d | Loss: %.4f", step, self.train_num_steps, current_loss)
         log_fn({"loss": current_loss, "step": step})
         self.writer.add_scalar("loss/train", current_loss, step)
         self.writer.add_scalar("lr/train", float(self.lr_schedule(step)), step)
+        self.writer.add_scalar("grad_norm/train", float(jax.device_get(grad_norm)), step)
 
     def _save_checkpoint(self) -> None:
         try:
