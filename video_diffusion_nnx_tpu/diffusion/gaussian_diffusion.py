@@ -322,15 +322,24 @@ class GaussianDiffusion(nnx.Module):
         repl = NamedSharding(mesh, P())
         img_sharding = NamedSharding(mesh, batch_spec)
 
+        cs = float(cond_scale)
+        et = float(eta)
+        cache_key = (
+            graphdef, shape, self.num_timesteps, num_steps, mesh, batch_spec, cs, et,
+            cond is not None,
+        )
+        cached = _SAMPLE_SCAN_CACHE.get(cache_key)
+        if cached is not None:
+            if cond is None:
+                return cached(state, key)
+            return cached(state, key, cond)
+
         # Strided timestep subsequence T-1 -> 0 and its shifted successor
         # (prev index; -1 terminates at alpha_cumprod = 1).
         times = jnp.linspace(0, self.num_timesteps - 1, num_steps).round().astype(jnp.int32)
         times = times[::-1]
         times_prev = jnp.concatenate([times[1:], jnp.array([-1], jnp.int32)])
         acp = self.alphas_cumprod[...]
-
-        cs = float(cond_scale)
-        et = float(eta)
 
         def run(state, key, cond=None):
             model = nnx.merge(graphdef, state)
@@ -369,8 +378,15 @@ class GaussianDiffusion(nnx.Module):
             (img, _), _ = jax.lax.scan(body, (img, key), (times, times_prev))
             return unnormalize_img(img)
 
-        shardings = (repl, repl) if cond is None else (repl, repl, repl)
-        jitted = jax.jit(run, in_shardings=shardings, out_shardings=img_sharding)
+        if cond is not None:
+            jitted = jax.jit(run, in_shardings=(repl, repl, repl), out_shardings=img_sharding)
+        else:
+            jitted = jax.jit(
+                lambda state, key: run(state, key),
+                in_shardings=(repl, repl),
+                out_shardings=img_sharding,
+            )
+        _SAMPLE_SCAN_CACHE[cache_key] = jitted
         if cond is None:
             return jitted(state, key)
         return jitted(state, key, cond)
