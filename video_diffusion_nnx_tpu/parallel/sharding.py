@@ -95,6 +95,54 @@ def params_partition_specs(
     )
 
 
+def fsdp_partition_spec(
+    path_names: tuple[str, ...],
+    leaf: Any,
+    data_axis_name: str = "data",
+    data_axis_size: int = 1,
+    min_size_to_shard: int = 2**14,
+) -> P:
+    """ZeRO/FSDP-style layout: shard each large parameter over the data axis.
+
+    Capability beyond the reference (its params are replicated on 'data',
+    reference trainer.py:421-426): every parameter bigger than
+    ``min_size_to_shard`` elements is sharded along its largest evenly
+    divisible dimension, cutting per-device param+optimizer+EMA memory by
+    ~the data-axis size. GSPMD inserts the all-gathers before use and
+    reduce-scatters on the gradients.
+    """
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim == 0 or data_axis_size <= 1:
+        return P() if ndim == 0 else P(*([None] * ndim))
+    size = 1
+    for d in leaf.shape:
+        size *= d
+    spec = [None] * ndim
+    if size >= min_size_to_shard:
+        # Largest dim divisible by the axis size, ties to the last dim.
+        best = None
+        for i, d in enumerate(leaf.shape):
+            if d % data_axis_size == 0 and (best is None or d >= leaf.shape[best]):
+                best = i
+        if best is not None:
+            spec[best] = data_axis_name
+    return P(*spec)
+
+
+def fsdp_partition_specs(
+    abstract_params: PyTree,
+    data_axis_name: str = "data",
+    data_axis_size: int = 1,
+    min_size_to_shard: int = 2**14,
+) -> PyTree:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: fsdp_partition_spec(
+            path_to_names(path), x, data_axis_name, data_axis_size, min_size_to_shard
+        ),
+        abstract_params,
+    )
+
+
 def mirror_partition_spec(param_spec_leaf: P, leaf_struct: Any) -> P:
     """EMA/optimizer leaves mirror their parameter's spec; scalars replicate.
 

@@ -52,7 +52,12 @@ from video_diffusion_nnx_tpu.parallel.sharding import (
     params_partition_specs,
 )
 from video_diffusion_nnx_tpu.training.metrics import create_summary_writer
-from video_diffusion_nnx_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from video_diffusion_nnx_tpu.utils.checkpoint import (
+    load_checkpoint,
+    load_opt_state,
+    save_checkpoint,
+    save_opt_state,
+)
 from video_diffusion_nnx_tpu.utils.functional import noop
 from video_diffusion_nnx_tpu.utils.grad import clip_grad_norm
 
@@ -110,6 +115,9 @@ class Trainer:
         enable_gradient_accumulation: bool = False,
         prefetch_depth: int = 2,
         dataset_normalize: bool = False,
+        param_sharding: str = "tensor",
+        fsdp_min_size_to_shard: int = 2**14,
+        save_optimizer_state: bool = False,
     ):
         self.key = jax.random.PRNGKey(rng_seed)
         self.profile_flush_step = profile_flush_step
@@ -173,9 +181,22 @@ class Trainer:
         abstract_params = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), init_params
         )
-        param_specs = params_partition_specs(
-            abstract_params, self.model_axis_name, num_model_shards
-        )
+        if param_sharding == "fsdp":
+            # ZeRO-style: shard params/opt/EMA over the data axis (capability
+            # beyond the reference, which replicates them on 'data').
+            from video_diffusion_nnx_tpu.parallel.sharding import fsdp_partition_specs
+
+            param_specs = fsdp_partition_specs(
+                abstract_params,
+                self.data_axis_name,
+                self.n_devices // num_model_shards,
+                min_size_to_shard=fsdp_min_size_to_shard,
+            )
+        else:
+            assert param_sharding == "tensor", param_sharding
+            param_specs = params_partition_specs(
+                abstract_params, self.model_axis_name, num_model_shards
+            )
         abstract_opt = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x,
             init_opt_state,
@@ -248,6 +269,15 @@ class Trainer:
         self.checkpoint_every_steps = checkpoint_every_steps
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
         self.ckpt_manager = CheckpointManager(self.checkpoint_dir_path, options=options)
+        # Opt-in full-state resume (the reference re-initializes the
+        # optimizer on resume, trainer.py:291-292 — kept as the default).
+        self.save_optimizer_state = save_optimizer_state
+        self._opt_ckpt_manager = None
+        if save_optimizer_state:
+            self._opt_ckpt_manager = CheckpointManager(
+                self.checkpoint_dir_path / "opt_state",
+                options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+            )
         logger.info(
             "Checkpoint manager initialized at %s with max_to_keep=%s",
             self.checkpoint_dir_path,
@@ -272,9 +302,26 @@ class Trainer:
                     self.model, self.step, str(self.checkpoint_dir_path), self.ckpt_manager
                 )
                 if model is not None and ema_params is not None:
+                    restored_opt = init_opt_state
+                    if self._opt_ckpt_manager is not None:
+                        try:
+                            abstract_opt_tree = jax.tree_util.tree_map(
+                                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                                if hasattr(x, "shape")
+                                else x,
+                                init_opt_state,
+                            )
+                            restored_opt = load_opt_state(
+                                self._opt_ckpt_manager, abstract_opt_tree, self.step
+                            )
+                            logger.info("Restored optimizer state for step %d", self.step)
+                        except FileNotFoundError:
+                            logger.warning(
+                                "No optimizer state for step %d; starting fresh", self.step
+                            )
                     self.state = NnxTrainState(
                         params=nnx.split(model)[1],
-                        opt_state=init_opt_state,
+                        opt_state=restored_opt,
                         ema_params=ema_params,
                     )
                     logger.info("Successfully loaded checkpoint state for step %d", self.step)
@@ -503,6 +550,8 @@ class Trainer:
             save_checkpoint(
                 self.ckpt_manager, state_to_save.params, state_to_save.ema_params, self.step
             )
+            if self._opt_ckpt_manager is not None:
+                save_opt_state(self._opt_ckpt_manager, state_to_save.opt_state, self.step)
         except Exception as e:
             logger.error("Error saving checkpoint at step %d: %s", self.step, e)
 

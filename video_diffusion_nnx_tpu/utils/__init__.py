@@ -40,7 +40,9 @@ from video_diffusion_nnx_tpu.utils.schedule import (
 )
 from video_diffusion_nnx_tpu.utils.checkpoint import (
     load_checkpoint,
+    load_opt_state,
     save_checkpoint,
+    save_opt_state,
 )
 
 
@@ -73,11 +75,13 @@ __all__ = [
     "is_list_str",
     "is_odd",
     "load_checkpoint",
+    "load_opt_state",
     "noop",
     "normalize_img",
     "num_to_groups",
     "prob_mask_like",
     "save_checkpoint",
+    "save_opt_state",
     "seek_all_images",
     "unnormalize_img",
     "video_array_to_gif",

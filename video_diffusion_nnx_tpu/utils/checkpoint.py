@@ -40,6 +40,25 @@ def save_checkpoint(
     logger.info("Checkpoint saved at step %d", step)
 
 
+def save_opt_state(ckpt_manager: CheckpointManager, opt_state: PyTree, step: int) -> None:
+    """Save optimizer state under its own manager (opt-in full-state resume).
+
+    Kept out of the main checkpoint so the reference-compatible
+    ``{'model', 'ema_params'}`` layout (utils.py:445-448) stays exactly
+    interchangeable; the optimizer tree lives in a sibling directory.
+    """
+    ckpt_manager.save(step, args=ocp_args.StandardSave(opt_state), force=True)
+    ckpt_manager.wait_until_finished()
+    logger.info("Optimizer state saved at step %d", step)
+
+
+def load_opt_state(ckpt_manager: CheckpointManager, abstract_opt_state: PyTree, step: int):
+    """Restore optimizer state saved by :func:`save_opt_state`."""
+    if step not in ckpt_manager.all_steps():
+        raise FileNotFoundError(f"no optimizer state for step {step}")
+    return ckpt_manager.restore(step, args=ocp_args.StandardRestore(abstract_opt_state))
+
+
 def load_checkpoint(
     model: nnx.Module,
     step: int,
