@@ -83,6 +83,9 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
         num_model_shards=trainer_cfg["num_model_shards"],
         enable_gradient_accumulation=trainer_cfg["enable_gradient_accumulation"],
         dataset_normalize=trainer_cfg["dataset_normalize"],
+        param_sharding=trainer_cfg["param_sharding"],
+        save_optimizer_state=trainer_cfg["save_optimizer_state"],
+        log_every_steps=trainer_cfg["log_every_steps"],
     )
     return unet_model, diffusion_model, trainer
 

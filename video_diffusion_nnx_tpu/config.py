@@ -46,6 +46,9 @@ _TRAINER_DEFAULTS: dict[str, Any] = {
     "resume_training_step": 0,
     "enable_gradient_accumulation": False,
     "dataset_normalize": False,
+    "param_sharding": "tensor",
+    "save_optimizer_state": False,
+    "log_every_steps": 1,
 }
 
 _UNET_DEFAULTS: dict[str, Any] = {

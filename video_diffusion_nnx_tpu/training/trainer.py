@@ -118,6 +118,7 @@ class Trainer:
         param_sharding: str = "tensor",
         fsdp_min_size_to_shard: int = 2**14,
         save_optimizer_state: bool = False,
+        log_every_steps: int = 1,
     ):
         self.key = jax.random.PRNGKey(rng_seed)
         self.profile_flush_step = profile_flush_step
@@ -335,6 +336,10 @@ class Trainer:
                 self.step = 0
 
         self.add_loss_plot = add_loss_plot
+        # Host<->device loss fetches synchronize the pipeline; on tunneled
+        # or high-latency runtimes fetch every N steps instead (default 1 =
+        # reference cadence).
+        self.log_every_steps = max(1, log_every_steps)
         self.save_and_sample_every = save_and_sample_every
         self.num_sample_rows = num_sample_rows
         self.sample_text = sample_text
@@ -511,7 +516,9 @@ class Trainer:
             # step it just dispatched.
             if pending is not None:
                 self._log_loss(pending[0], pending[1], pending[2], log_fn)
-            pending = (self.step, loss_val, grad_norm)
+                pending = None
+            if self.step % self.log_every_steps == 0:
+                pending = (self.step, loss_val, grad_norm)
 
             if self.step > 0 and self.step % self.checkpoint_every_steps == 0:
                 logger.info("Step: %d | Saving checkpoint...", self.step)
