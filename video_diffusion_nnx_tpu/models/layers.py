@@ -20,7 +20,7 @@ checkpoints from the reference restore unchanged.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from flax import nnx
 
 from flax.nnx.nn import dtypes as nnx_dtypes
 
-from video_diffusion_nnx_tpu.utils.functional import default, exists
+
 
 
 class PseudoConv3d(nnx.Conv):

@@ -21,11 +21,11 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def sequence_parallel_temporal_attention(

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import logging
 import time
-from functools import partial
+
 from pathlib import Path
 from typing import Any, Callable
 
