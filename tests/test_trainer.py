@@ -288,3 +288,14 @@ class TestFullStateResume:
         )
         adam = tr2.state.opt_state[0]
         assert int(jax.device_get(adam.count)) == 0
+
+
+class TestLogCadence:
+    def test_log_every_steps(self, npy_path, tmp_path):
+        tr = make_trainer(
+            npy_path, tmp_path, train_num_steps=6, checkpoint_every_steps=100,
+            log_every_steps=3,
+        )
+        logged = []
+        tr.train(log_fn=lambda d: logged.append(d["step"]))
+        assert logged == [0, 3]
