@@ -56,10 +56,14 @@ _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 # math itself is exercised without TPU hardware.
 FORCE_INTERPRET = False
 
-# Token-tile envelope: largest bt*f per program. Empirically VMEM-validated
-# on this toolchain with the per-head output accumulation below (4096 blows
-# the 16 MB VMEM stack; 2048 compiles and runs ~5% faster than 1024).
-_ENVELOPE = 2048
+# Token-tile envelope: largest bt*f per program, by channel width.
+# Empirically VMEM-validated on this toolchain with the per-head output
+# accumulation below: narrow levels (c<=64, where lane padding dominates)
+# fit 2048 tokens*frames (~5% faster than 1024; 4096 blows the 16 MB VMEM
+# stack); wide levels (c=128..256) only fit 1024 (the y/x buffers scale
+# with c).
+_ENVELOPE_NARROW = 2048
+_ENVELOPE_WIDE = 1024
 
 
 def _fused_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim):
@@ -119,8 +123,9 @@ def _fused_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, head
 def _choose_tile(tokens: int, f: int, c: int, heads: int, dim: int) -> int:
     # Mosaic pads the lane (last) dim to 128 and keeps every unrolled head's
     # q/k/v slices live simultaneously, so the binding constraint is
-    # bt * f * 128 lanes * heads-unroll staying inside VMEM (_ENVELOPE).
-    bt = max(1, min(512, _ENVELOPE // max(f, 1)))
+    # bt * f * max(c, 128) lanes * heads-unroll staying inside VMEM.
+    envelope = _ENVELOPE_NARROW if c <= 64 else _ENVELOPE_WIDE
+    bt = max(1, min(512, envelope // max(f, 1)))
     bt = 1 << (bt.bit_length() - 1)  # floor to power of two
     while bt > 1 and tokens % bt != 0:
         bt //= 2
