@@ -110,10 +110,12 @@ class Unet3D(nnx.Module):
         # resident QKV+attention+out-proj+residual). Only valid in
         # reference-compat mode, where PreNorm is a no-op wrapper.
         self.use_fused_attention = use_fused_attention and reference_compat
-        # The fused spatial-linear-attention kernel is opt-in separately: its
-        # current per-frame/per-head schedule measures *slower* than XLA's
-        # composite at the shipped model shapes (32-lane arrays pad 4x on the
-        # VPU); kept for iteration, correct and tested.
+        # The fused spatial-linear-attention kernel is opt-in separately: it
+        # beats the XLA composite in f32 at the top level (13.6 vs 16.5 ms,
+        # two-pass variant) but computes internally in f32, so under the
+        # bf16 production policy the bf16 composite is still faster
+        # (12 vs 20 ms). Opt in for f32 deployments; a bf16-internal
+        # variant is the known next step.
         self.use_fused_spatial_attention = use_fused_spatial_attention and reference_compat
         # Rematerialize ResnetBlock activations in the backward pass: trades
         # ~30% more forward FLOPs for O(levels) less activation memory —

@@ -99,6 +99,96 @@ def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, group, dim, scale
     out_ref[0] = x + y.astype(x.dtype)
 
 
+def _context_kernel(wk_ref, wv_ref, x_ref, ctx_ref, *, heads, dim):
+    """Pass 1: per-frame, per-head context = softmax_n(k)^T @ v -> (H, D, D).
+
+    Needs the whole frame in VMEM (the k-softmax normalizes over ALL n
+    tokens), but holds only one head's k/v at a time (fori + head-major
+    weights), so it fits even at n = 64*64.
+    """
+    x = x_ref[0]  # (n, c)
+    xf = x.astype(jnp.float32)
+
+    def body(h, _):
+        k = jnp.dot(xf, wk_ref[h], preferred_element_type=jnp.float32)  # (n, D)
+        k = k - jnp.max(k, axis=0, keepdims=True)
+        ek = jnp.exp(k)
+        k = ek / jnp.sum(ek, axis=0, keepdims=True)
+        v = jnp.dot(xf, wv_ref[h], preferred_element_type=jnp.float32)
+        ctx = jax.lax.dot_general(
+            k, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, D)
+        ctx_ref[0, h] = ctx
+        return 0
+
+    jax.lax.fori_loop(0, heads, body, 0)
+
+
+def _out_kernel(wq_ref, wo_ref, ctx_ref, x_ref, out_ref, *, heads, dim, scale):
+    """Pass 2: token-chunked q-softmax and output projection.
+
+    The q softmax is strictly per-token, so the token axis chunks freely in
+    the grid; each program reads the tiny per-frame contexts and writes its
+    chunk of ``x + y``.
+    """
+    x = x_ref[0]  # (nc, c)
+    xf = x.astype(jnp.float32)
+    nc, c = xf.shape
+
+    def body(h, y):
+        q = jnp.dot(xf, wq_ref[h], preferred_element_type=jnp.float32)  # (nc, D)
+        q = q - jnp.max(q, axis=-1, keepdims=True)
+        eq = jnp.exp(q)
+        q = eq / jnp.sum(eq, axis=-1, keepdims=True)
+        if scale != 1.0:
+            q = q * scale
+        o = jnp.dot(q, ctx_ref[0, h], preferred_element_type=jnp.float32)  # (nc, D)
+        return y + jnp.dot(o, wo_ref[h], preferred_element_type=jnp.float32)
+
+    y = jax.lax.fori_loop(0, heads, body, jnp.zeros((nc, c), jnp.float32))
+    out_ref[0] = x + y.astype(x.dtype)
+
+
+def _forward_two_pass(x, wq, wk, wv, wo3, heads, dim, scale):
+    """Large-n path (e.g. 64*64 tokens): contexts per frame, then chunked out."""
+    b, f, hh, ww, c = x.shape
+    n = hh * ww
+    frames = b * f
+    xt = x.reshape(frames, n, c)
+
+    ctx = pl.pallas_call(
+        functools.partial(_context_kernel, heads=heads, dim=dim),
+        grid=(frames,),
+        in_specs=[
+            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, heads, dim, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((frames, heads, dim, dim), jnp.float32),
+        interpret=FORCE_INTERPRET,
+    )(wk, wv, xt)
+
+    nc = min(n, 1024)
+    while n % nc != 0:
+        nc //= 2
+    out = pl.pallas_call(
+        functools.partial(_out_kernel, heads=heads, dim=dim, scale=scale),
+        grid=(frames, n // nc),
+        in_specs=[
+            pl.BlockSpec((heads, c, dim), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, dim, c), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, dim, dim), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((frames, n, c), x.dtype),
+        interpret=FORCE_INTERPRET,
+    )(wq, wo3, ctx, xt)
+    return out.reshape(b, f, hh, ww, c)
+
+
 def _composite_xla(x, wqkv, wo, heads: int, dim: int, scale: float):
     """Compat-mode math in plain XLA (fallback + custom-VJP backward).
 
@@ -159,8 +249,32 @@ def fused_spatial_linear_attention_block(x, wqkv, wo, heads: int, dim: int, scal
     return _forward(x, wqkv, wo, heads, dim, scale)
 
 
+def _two_pass_supported(x) -> bool:
+    if x.ndim != 5:
+        return False
+    _, _, hh, ww, c = x.shape
+    n = hh * ww
+    # Pass 1 keeps one frame + one head's k/v in VMEM.
+    live = 4 * n * (_pad128(c) + 3 * _pad128(32))
+    if live > _VMEM_BUDGET_BYTES:
+        return False
+    if FORCE_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _forward(x, wqkv, wo, heads, dim, scale):
     if not _supported(x, heads, dim):
+        if _two_pass_supported(x):
+            # Large-n frames (e.g. 64x64 tokens): head-major weights, two
+            # Pallas passes (contexts, then chunked outputs).
+            b, f, hh, ww, c = x.shape
+            hd = heads * dim
+            wq_h = jnp.transpose(wqkv[:, :hd].reshape(c, heads, dim), (1, 0, 2))
+            wk_h = jnp.transpose(wqkv[:, hd : 2 * hd].reshape(c, heads, dim), (1, 0, 2))
+            wv_h = jnp.transpose(wqkv[:, 2 * hd :].reshape(c, heads, dim), (1, 0, 2))
+            wo_h = wo.reshape(heads, dim, c)
+            return _forward_two_pass(x, wq_h, wk_h, wv_h, wo_h, heads, dim, scale)
         return _composite_xla(x, wqkv, wo, heads, dim, scale)
     b, f, hh, ww, c = x.shape
     n = hh * ww
