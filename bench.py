@@ -4,10 +4,14 @@ Scenario (BASELINE.json target: < 60 s on v5e-8): batch-8, 16-frame, 64x64,
 1-channel sampling with the config_v2_2-scale Unet3D (dim 32, mults
 1/2/4/8, T reduced to 250 reverse steps as specified by the target).
 
+Also measures the training side (fwd+bwd+Adam+EMA at the v2_2 recipe:
+batch 4, 10 frames, bf16 compute) and reports train steps/sec/chip plus an
+MFU estimate from XLA's own FLOP count for the compiled step.
+
 Prints ONE JSON line:
 ``{"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 60/value}``
-plus auxiliary fields (denoise steps/sec/chip, devices). Compilation is
-excluded (one warm-up run; the compiled scan is cached).
+plus auxiliary fields (denoise steps/sec/chip, train step/MFU, devices).
+Compilation is excluded (one warm-up run; the compiled scan is cached).
 """
 
 from __future__ import annotations
@@ -15,6 +19,11 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+# TPU v5e peak: 197 TFLOP/s per chip in bf16 (394 TOPS int8). The MFU
+# estimate divides XLA's reported FLOP count by this; with mixed
+# f32/bf16 math inside the step it is a conservative lower bound.
+_V5E_PEAK_FLOPS = 197e12
 
 
 def main() -> None:
@@ -84,8 +93,67 @@ def main() -> None:
     ddim_s = min(timed_ddim(i + 1) for i in range(3))
     print(f"[ddim-50] best: {ddim_s:.3f}s", file=sys.stderr)
 
+    # Training throughput + MFU at the v2_2 recipe (batch 4, 10 frames,
+    # bf16 compute): one full fwd+bwd+Adam+EMA step.
+    import optax
+
+    def train_bench(fused: bool):
+        t_batch, t_frames = 4, 10
+        unet = Unet3D(
+            dim=32,
+            rngs=nnx.Rngs(0),
+            dim_mults=(1, 2, 4, 8),
+            channels=channels,
+            compute_dtype="bfloat16",
+            use_fused_attention=fused,
+        )
+        diff = GaussianDiffusion(
+            unet, image_size=size, num_frames=t_frames, channels=channels,
+            timesteps=1000, loss_type="l2",
+        )
+        graphdef, params = nnx.split(diff)
+        tx = optax.adam(1e-4)
+        opt = tx.init(params)
+        ema = jax.tree_util.tree_map(jnp.copy, params)
+
+        @jax.jit
+        def step(params, opt, ema, x, key):
+            def loss_fn(p):
+                return nnx.merge(graphdef, p)(x, key=key)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            ema = jax.tree_util.tree_map(lambda e, p: 0.9999 * e + 0.0001 * p, ema, params)
+            return params, opt, ema, loss
+
+        x = jnp.zeros((t_batch, channels, t_frames, size, size), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        compiled = step.lower(params, opt, ema, x, key).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns a list of dicts
+            cost = cost[0] if cost else {}
+        step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+        params, opt, ema, loss = step(params, opt, ema, x, key)
+        float(loss)  # force full materialization over the tunnel
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, opt, ema, loss = step(params, opt, ema, x, key)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n
+        tag = "fused" if fused else "composite"
+        print(f"[train b4 bf16 {tag}] {dt*1000:.1f} ms/step", file=sys.stderr)
+        return dt, step_flops
+
+    train_comp_s, train_flops = train_bench(fused=False)
+    train_fused_s, _ = train_bench(fused=True)
+    train_s = min(train_comp_s, train_fused_s)
+
     elapsed = min(fused_s, f32_s)
     n_chips = jax.device_count()
+    train_mfu = (train_flops / train_s / (_V5E_PEAK_FLOPS * n_chips)) if train_flops else 0.0
 
     result = {
         "metric": "ddpm_sample_250step_16f_64x64_b8_wallclock",
@@ -96,6 +164,12 @@ def main() -> None:
         "f32_parity_s": round(f32_s, 3),
         "bf16_fused_s": round(fused_s, 3),
         "ddim_50step_s": round(ddim_s, 3),
+        "train_step_v2_2_b4_bf16_ms": round(train_s * 1000, 1),
+        "train_steps_per_sec_per_chip": round(1.0 / train_s / n_chips, 2),
+        "train_step_composite_ms": round(train_comp_s * 1000, 1),
+        "train_step_fused_ms": round(train_fused_s * 1000, 1),
+        "train_mfu_est": round(train_mfu, 4),
+        "train_step_flops": train_flops,
         "devices": n_chips,
         "compile_s": round(fused_warm - fused_s, 2),
     }

@@ -1,10 +1,13 @@
 """Sampling CLI.
 
-Flag-compatible with the reference's sample.py (reference sample.py:17-119):
-``python sample.py --config C --checkpoint-path P [--step N]
-[--output-path O] [--seed S] [--batch-size B] [--load-ema-params]``.
-Output naming (``sample_{i}.gif``) and the global min-max -> uint8
-normalization match the reference exactly.
+Flag-compatible with the reference's sample.py surface (reference
+sample.py:17-119): ``--config --checkpoint-path --step --output-path --seed
+--batch-size --load-ema-params``, writing ``sample_{i}.gif`` with the same
+global min-max -> uint8 normalization. Beyond the reference it exposes the
+fast sampler and classifier-free guidance:
+
+    --sampler ddim --num-steps 50        50-step DDIM instead of full DDPM
+    --text "a bouncing digit" --cond-scale 2.0   CFG text conditioning
 """
 
 import argparse
@@ -12,99 +15,121 @@ import logging
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from einops import rearrange
-from flax import nnx
-
-from video_diffusion_nnx_tpu.config import load_config
-from video_diffusion_nnx_tpu.diffusion import GaussianDiffusion
-from video_diffusion_nnx_tpu.models import Unet3D
-from video_diffusion_nnx_tpu.utils import load_checkpoint, video_array_to_gif
 
 logging.basicConfig(level=logging.INFO, force=True)
+log = logging.getLogger("sample")
 
 
-def main():
-    parser = argparse.ArgumentParser(description="Generate samples using diffusion model")
-    parser.add_argument(
-        "--config",
-        type=str,
-        default=str(Path(__file__).parent / "configs" / "config.yaml"),
-        help="Path to the YAML config file",
+def parse_args() -> argparse.Namespace:
+    here = Path(__file__).parent
+    p = argparse.ArgumentParser(description="Generate video samples from a checkpoint")
+    p.add_argument("--config", type=str, default=str(here / "configs" / "config.yaml"))
+    p.add_argument("--output-path", type=str, default=str(here / "outputs"))
+    p.add_argument("--checkpoint-path", type=str, required=True)
+    p.add_argument("--step", type=int, default=0, help="checkpoint step to restore")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--load-ema-params", action="store_true", default=False)
+    # Beyond-reference sampler controls.
+    p.add_argument(
+        "--sampler", choices=("ddpm", "ddim"), default="ddpm",
+        help="ddpm = full reverse chain (reference behavior); ddim = fast sampler",
     )
-    parser.add_argument(
-        "--output-path",
-        type=str,
-        default=str(Path(__file__).parent / "outputs"),
-        help="Directory to save sampled GIFs",
+    p.add_argument(
+        "--num-steps", type=int, default=50,
+        help="DDIM step count (ignored for ddpm)",
     )
-    parser.add_argument(
-        "--checkpoint-path", type=str, required=True, help="Path to the model checkpoint file"
+    p.add_argument("--eta", type=float, default=0.0, help="DDIM stochasticity")
+    p.add_argument(
+        "--text", type=str, action="append", default=None,
+        help="text condition; repeat for per-sample prompts (needs a "
+        "use_bert_text_cond model)",
     )
-    parser.add_argument("--step", type=int, default=0, help="Checkpoint step number to load")
-    parser.add_argument("--seed", type=int, default=0, help="Random seed for sampling")
-    parser.add_argument("--batch-size", type=int, default=2, help="Number of videos to generate")
-    parser.add_argument(
-        "--load-ema-params",
-        action="store_true",
-        default=False,
-        help="Whether to load EMA parameters",
-    )
-    args = parser.parse_args()
+    p.add_argument("--cond-scale", type=float, default=1.0, help="CFG guidance scale")
+    return p.parse_args()
 
-    output_path = Path(args.output_path)
-    output_path.mkdir(parents=True, exist_ok=True)
 
-    logging.info("Loading configuration from: %s", args.config)
+def build_model(config: dict):
+    """Construct the denoiser + diffusion wrapper a config describes."""
+    from flax import nnx
+
+    from video_diffusion_nnx_tpu.diffusion import GaussianDiffusion
+    from video_diffusion_nnx_tpu.models import Unet3D
+
+    u, d = config["unet"], config["diffusion"]
+    unet = Unet3D(
+        dim=u["dim"],
+        rngs=nnx.Rngs(u["rngs_seed"]),
+        dim_mults=tuple(u["dim_mults"]),
+        channels=u["channels"],
+        use_bert_text_cond=u["use_bert_text_cond"],
+        reference_compat=u.get("reference_compat", True),
+        compute_dtype=u.get("compute_dtype", None),
+        use_fused_attention=u.get("use_fused_attention", False),
+        use_fused_spatial_attention=u.get("use_fused_spatial_attention", False),
+    )
+    return GaussianDiffusion(
+        denoise_fn=unet,
+        image_size=d["image_size"],
+        num_frames=d["num_frames"],
+        timesteps=d["timesteps"],
+        loss_type=d["loss_type"],
+        channels=d["channels"],
+    )
+
+
+def write_gifs(videos: jax.Array, out_dir: Path) -> None:
+    """Reference-compatible artifact format: one GIF per sample, scaled by
+    the batch-global value range (reference sample.py:105-116)."""
+    from video_diffusion_nnx_tpu.utils import video_array_to_gif
+
+    frames_last = rearrange(np.asarray(videos), "b c f h w -> b f h w c")
+    lo, hi = frames_last.min(), frames_last.max()
+    scaled = ((frames_last - lo) / max(hi - lo, 1e-12) * 255).astype(np.uint8)
+    for i, clip in enumerate(scaled):
+        target = out_dir / f"sample_{i}.gif"
+        video_array_to_gif(clip, target)
+        log.info("wrote %s", target)
+
+
+def main() -> None:
+    args = parse_args()
+
+    from video_diffusion_nnx_tpu.config import load_config
+    from video_diffusion_nnx_tpu.utils import load_checkpoint
+
     config = load_config(args.config)
-
-    unet_cfg = config["unet"]
-    logging.info("Initializing Unet3D model...")
-    rngs = nnx.Rngs(unet_cfg["rngs_seed"])
-    unet_model = Unet3D(
-        dim=unet_cfg["dim"],
-        rngs=rngs,
-        dim_mults=tuple(unet_cfg["dim_mults"]),
-        channels=unet_cfg["channels"],
-        use_bert_text_cond=unet_cfg["use_bert_text_cond"],
-        reference_compat=unet_cfg.get("reference_compat", True),
-        compute_dtype=unet_cfg.get("compute_dtype", None),
-        use_fused_attention=unet_cfg.get("use_fused_attention", False),
+    model = build_model(config)
+    model, _ = load_checkpoint(
+        model, args.step, str(Path(args.checkpoint_path).resolve()),
+        load_ema_params=args.load_ema_params,
+    )
+    log.info(
+        "restored step %d from %s (ema=%s)",
+        args.step, args.checkpoint_path, args.load_ema_params,
     )
 
-    diff_cfg = config["diffusion"]
-    logging.info("Initializing GaussianDiffusion model...")
-    diffusion_model = GaussianDiffusion(
-        denoise_fn=unet_model,
-        image_size=diff_cfg["image_size"],
-        num_frames=diff_cfg["num_frames"],
-        timesteps=diff_cfg["timesteps"],
-        loss_type=diff_cfg["loss_type"],
-        channels=diff_cfg["channels"],
-    )
-
-    checkpoint_path = Path(args.checkpoint_path).resolve()
-    diffusion_model, _ = load_checkpoint(
-        diffusion_model, args.step, str(checkpoint_path), load_ema_params=args.load_ema_params
-    )
-    logging.info("Loaded checkpoint from %s at step %d", checkpoint_path, args.step)
-
+    cond = args.text
+    if cond is not None and len(cond) == 1 and args.batch_size > 1:
+        cond = cond * args.batch_size
     key = jax.random.PRNGKey(args.seed)
-    sampled_videos = diffusion_model.sample(key, batch_size=args.batch_size)
-    logging.info("Sampled %d videos", len(sampled_videos))
+    if args.sampler == "ddim":
+        log.info("DDIM sampling: %d steps, eta=%.2f", args.num_steps, args.eta)
+        videos = model.ddim_sample(
+            key, cond=cond, cond_scale=args.cond_scale,
+            batch_size=args.batch_size, num_steps=args.num_steps, eta=args.eta,
+        )
+    else:
+        videos = model.sample(
+            key, cond=cond, cond_scale=args.cond_scale, batch_size=args.batch_size
+        )
+    log.info("generated %d clips", videos.shape[0])
 
-    # Global min-max -> uint8, identical to reference sample.py:105-110.
-    sampled_videos = rearrange(sampled_videos, "b c f h w -> b f h w c")
-    min_val = jnp.min(sampled_videos)
-    max_val = jnp.max(sampled_videos)
-    normalized = (sampled_videos - min_val) / (max_val - min_val)
-    uint8_videos = (normalized * 255).astype(jnp.uint8)
-
-    for i, video_np in enumerate(np.array(uint8_videos)):
-        output_filename = output_path / f"sample_{i}.gif"
-        video_array_to_gif(video_np, output_filename)
-        logging.info("Saved sample %d to %s", i, output_filename)
+    out_dir = Path(args.output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    write_gifs(videos, out_dir)
 
 
 if __name__ == "__main__":

@@ -151,6 +151,27 @@ class TestTrainSampleRoundtrip:
         sample_cli.main()
         assert (out_dir / "sample_0.gif").exists()
 
+    def test_sample_cli_ddim(self, tiny_setup, monkeypatch):
+        """--sampler ddim reaches the fast sampler from the CLI."""
+        root, cfg_path = tiny_setup
+        out_dir = root / "outputs_ddim"
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "sample.py",
+                "--config", str(cfg_path),
+                "--checkpoint-path", str(root / "results" / "checkpoints"),
+                "--step", "2",
+                "--batch-size", "1",
+                "--output-path", str(out_dir),
+                "--sampler", "ddim",
+                "--num-steps", "3",
+            ],
+        )
+        sample_cli.main()
+        assert (out_dir / "sample_0.gif").exists()
+
     def test_resume_cli(self, tiny_setup, monkeypatch):
         root, cfg_path = tiny_setup
         monkeypatch.setattr(

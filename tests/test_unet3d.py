@@ -106,6 +106,24 @@ class TestCFG:
         got = net.forward_with_cond_scale(x, t, cond=cond, cond_scale=2.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    def test_batched_cfg_bitwise_matches_two_pass(self):
+        """The single 2b-batched CFG forward == two b-sized passes, bitwise.
+
+        Per-sample math is batch-independent (convs, norms, softmaxes all
+        reduce within a sample), so batching the null and cond passes
+        (SURVEY §7 hard part #4) must not change a single bit.
+        """
+        net = Unet3D(dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C, cond_dim=8)
+        x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (3, C, 2, 16, 16))
+        t = jnp.array([3.0, 1.0, 7.0])
+        cond = jax.random.normal(jax.random.PRNGKey(1), (3, 8))
+        scale = 1.7
+        cond_logits = net(x, t, cond=cond, null_cond_prob=0.0)
+        null_logits = net(x, t, cond=cond, null_cond_prob=1.0)
+        want = null_logits + (cond_logits - null_logits) * scale
+        got = net.forward_with_cond_scale(x, t, cond=cond, cond_scale=scale)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
 
 class TestStateTree:
     """The nnx state tree is the checkpoint format — its paths are a contract

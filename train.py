@@ -35,6 +35,8 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
         reference_compat=unet_cfg.get("reference_compat", True),
         compute_dtype=unet_cfg.get("compute_dtype", None),
         use_fused_attention=unet_cfg.get("use_fused_attention", False),
+        use_fused_spatial_attention=unet_cfg.get("use_fused_spatial_attention", False),
+        remat_blocks=unet_cfg.get("remat_blocks", False),
     )
 
     diff_cfg = config["diffusion"]

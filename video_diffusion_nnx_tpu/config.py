@@ -60,6 +60,8 @@ _UNET_DEFAULTS: dict[str, Any] = {
     "reference_compat": True,
     "compute_dtype": None,
     "use_fused_attention": False,
+    "use_fused_spatial_attention": False,
+    "remat_blocks": False,
 }
 
 _DIFFUSION_DEFAULTS: dict[str, Any] = {

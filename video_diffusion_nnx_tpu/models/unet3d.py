@@ -283,13 +283,34 @@ class Unet3D(nnx.Module):
     def forward_with_cond_scale(self, *args: Any, cond_scale: float = 2.0, **kwargs: Any) -> jax.Array:
         """Classifier-free guidance: ``null + (cond - null) * scale``.
 
-        Parity: reference unet3d.py:254-260. Without conditioning (or at
-        ``cond_scale == 1``) this is a single forward pass.
+        Parity: reference unet3d.py:254-260 computes this as TWO sequential
+        full forward passes. Here the conditioned and null passes are batched
+        into ONE forward at ``2b`` (per-sample math is independent, so the
+        result is identical — tested bitwise) — halving conditioned sampling
+        latency on TPU, where the denoiser underutilizes the chip at small
+        batch. Without conditioning (or at ``cond_scale == 1``) this is a
+        single forward pass.
         """
-        logits = self(*args, null_cond_prob=0.0, **kwargs)
         if cond_scale == 1 or not self.has_cond:
-            return logits
-        null_logits = self(*args, null_cond_prob=1.0, **kwargs)
+            return self(*args, null_cond_prob=0.0, **kwargs)
+
+        x, time = args[0], args[1]
+        cond = kwargs.pop("cond", None)
+        assert cond is not None, "has_cond requires cond"
+        b = x.shape[0]
+        x2 = jnp.concatenate([x, x], axis=0)
+        time2 = jnp.concatenate([time, time], axis=0)
+        cond2 = jnp.concatenate([cond, cond], axis=0)
+        # First half: conditioned (mask False); second half: null (mask True).
+        null_mask = jnp.arange(2 * b) >= b
+        fpm = kwargs.pop("focus_present_mask", None)
+        if fpm is not None:
+            fpm = jnp.concatenate([fpm, fpm], axis=0)
+        out = self(
+            x2, time2, cond=cond2, null_cond_mask=null_mask,
+            focus_present_mask=fpm, **kwargs,
+        )
+        logits, null_logits = out[:b], out[b:]
         return null_logits + (logits - null_logits) * cond_scale
 
     def _log_shape(self, tag: str, x: jax.Array) -> None:
@@ -358,6 +379,7 @@ class Unet3D(nnx.Module):
         prob_focus_present: float = 0.0,
         *,
         key: jax.Array | None = None,
+        null_cond_mask: jax.Array | None = None,
     ) -> jax.Array:
         """Denoise ``x`` of shape ``(b, c, f, h, w)``; returns ``(b, f, h, w, c)``.
 
@@ -365,7 +387,9 @@ class Unet3D(nnx.Module):
         output that callers rearrange). ``key`` (new) threads randomness into
         the CFG null-cond dropout and focus-present mask; when omitted the
         reference's host-seeded fallback is used (only reachable when those
-        probabilities are strictly between 0 and 1).
+        probabilities are strictly between 0 and 1). ``null_cond_mask`` (new)
+        overrides the sampled null-conditioning mask with an explicit boolean
+        per-sample mask — used by the batched-CFG path.
         """
         assert not (self.has_cond and not exists(cond)), "cond must be passed in if cond_dim specified"
 
@@ -386,7 +410,11 @@ class Unet3D(nnx.Module):
         t = self.time_mlp(time)
 
         if self.has_cond:
-            mask = prob_mask_like((x.shape[0],), null_cond_prob, key=cfg_key)
+            mask = (
+                null_cond_mask
+                if null_cond_mask is not None
+                else prob_mask_like((x.shape[0],), null_cond_prob, key=cfg_key)
+            )
             cond = jnp.where(mask[:, None], self.null_cond_emb[...], cond)
             t = jnp.concatenate((t, cond), axis=-1)
 
