@@ -67,6 +67,56 @@ class TestFusedTemporalAttention:
         np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
 
+    def test_gradients_all_args(self):
+        """Pallas backward emits correct grads for every argument (multi-tile)."""
+        mha, _ = _mha_and_inputs()
+        # 24 tokens -> several grid programs, exercising the cross-program
+        # weight-gradient accumulation.
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, 8, 4, 16))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+
+        def loss(fn):
+            def f(x, wqkv, bqkv, wo, bo):
+                return jnp.sum(fn(x, wqkv, bqkv, wo, bo, 4, 8) ** 2)
+
+            return jax.grad(f, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wo, bo)
+
+        got = loss(ta.fused_temporal_attention_block)
+        want = loss(ta._composite_xla)
+        for g_f, g_r in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g_f), np.asarray(g_r), rtol=2e-4, atol=2e-4
+            )
+
+    def test_bf16_forward_and_backward(self):
+        """bf16 inputs run natively through both kernels within bf16 tolerance."""
+        mha, x = _mha_and_inputs()
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        xb = x.astype(jnp.bfloat16)
+
+        got = ta.fused_temporal_attention_block(xb, wqkv, bqkv, wo, bo, 4, 8)
+        assert got.dtype == jnp.bfloat16
+        want = ta._composite_xla(xb, wqkv, bqkv, wo, bo, 4, 8)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05
+        )
+
+        gx = jax.grad(
+            lambda x: jnp.sum(
+                ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8)
+                .astype(jnp.float32) ** 2
+            )
+        )(xb)
+        gx_ref = jax.grad(
+            lambda x: jnp.sum(
+                ta._composite_xla(x, wqkv, bqkv, wo, bo, 4, 8).astype(jnp.float32) ** 2
+            )
+        )(xb)
+        np.testing.assert_allclose(
+            np.asarray(gx, np.float32), np.asarray(gx_ref, np.float32),
+            rtol=0.1, atol=0.25,
+        )
+
     def test_jittable(self):
         mha, x = _mha_and_inputs()
         wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
@@ -176,13 +226,16 @@ class TestTwoPassSpatialAttention:
         sla = SpatialLinearAttention(16, heads=4, D=8, rngs=nnx.Rngs(0))
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 8, 16))
         wqkv, wo = sla_ops.pack_sla_weights(sla)
-        hd = 4 * 8
-        c = 16
-        wq_h = jnp.transpose(wqkv[:, :hd].reshape(c, 4, 8), (1, 0, 2))
-        wk_h = jnp.transpose(wqkv[:, hd : 2 * hd].reshape(c, 4, 8), (1, 0, 2))
-        wv_h = jnp.transpose(wqkv[:, 2 * hd :].reshape(c, 4, 8), (1, 0, 2))
-        wo_h = wo.reshape(4, 8, c)
-        got = sla_ops._forward_two_pass(x, wq_h, wk_h, wv_h, wo_h, 4, 8, 1.0)
+        got = sla_ops._forward_two_pass(x, wqkv, wo, 4, 8, 1.0)
+        want = x + sla(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_two_pass_single_head_group(self):
+        """Heads that don't pack into one 128-lane group still work (D=128)."""
+        sla = SpatialLinearAttention(16, heads=2, D=128, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 4, 16))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        got = sla_ops._forward_two_pass(x, wqkv, wo, 2, 128, 1.0)
         want = x + sla(x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 

@@ -49,12 +49,12 @@ def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, group, dim, scale
     c = x_ref.shape[-1]
     gd = group * dim
     x = x_ref[0]  # (n, c) — one frame's spatial tokens
-    xf = x.astype(jnp.float32)
+    # Matmul operands stay in the input dtype (bf16 -> native MXU rate);
+    # accumulation and softmax statistics are f32.
+    xf = x
 
     # Block-diagonal mask zeroing cross-head context entries.
-    row = jax.lax.broadcasted_iota(jnp.int32, (gd, gd), 0) // dim
-    col = jax.lax.broadcasted_iota(jnp.int32, (gd, gd), 1) // dim
-    block_mask = (row == col).astype(jnp.float32)
+    block_mask = _block_diag_mask(gd, dim)
 
     def group_body(g, y):
         q = jnp.dot(xf, wq_ref[g], preferred_element_type=jnp.float32)  # (n, gd)
@@ -63,20 +63,7 @@ def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, group, dim, scale
 
         # q: softmax over each head's dim-wide feature block (per token).
         # Reference-compat drops the q scale (scale == 1.0 in compat mode).
-        stats = []
-        for h in range(group):
-            blk = q[:, h * dim : (h + 1) * dim]
-            m = jnp.max(blk, axis=-1, keepdims=True)  # (n, 1)
-            stats.append(jnp.broadcast_to(m, (n, dim)))
-        q = jnp.exp(q - jnp.concatenate(stats, axis=-1))
-        sums = []
-        for h in range(group):
-            blk = q[:, h * dim : (h + 1) * dim]
-            s = jnp.sum(blk, axis=-1, keepdims=True)
-            sums.append(jnp.broadcast_to(s, (n, dim)))
-        q = q / jnp.concatenate(sums, axis=-1)
-        if scale != 1.0:
-            q = q * scale
+        q = _blockwise_q_softmax(q, n, group, dim, scale)
 
         # k: softmax over the token axis (column-wise; head-independent).
         k = k - jnp.max(k, axis=0, keepdims=True)
@@ -86,12 +73,18 @@ def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, group, dim, scale
         # context[d, e] = sum_n k[n, d] v[n, e] for the whole group, then
         # masked block-diagonal so only within-head pairs survive.
         context = jax.lax.dot_general(
-            k, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            k.astype(x.dtype), v.astype(x.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (gd, gd)
         context = context * block_mask
-        o_g = jnp.dot(q, context, preferred_element_type=jnp.float32)  # (n, gd)
-        contrib = jnp.dot(o_g, wo_ref[g], preferred_element_type=jnp.float32)
+        o_g = jnp.dot(
+            q.astype(x.dtype), context.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )  # (n, gd)
+        contrib = jnp.dot(
+            o_g.astype(x.dtype), wo_ref[g], preferred_element_type=jnp.float32
+        )
         return y + contrib  # (n, c)
 
     n_groups = wq_ref.shape[0]
@@ -99,87 +92,137 @@ def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, group, dim, scale
     out_ref[0] = x + y.astype(x.dtype)
 
 
-def _context_kernel(wk_ref, wv_ref, x_ref, ctx_ref, *, heads, dim):
-    """Pass 1: per-frame, per-head context = softmax_n(k)^T @ v -> (H, D, D).
+def _group_views(wqkv, wo, heads: int, dim: int, dtype):
+    """Packed (c, 3HD)/(HD, c) params -> group-major kernel views.
+
+    ``group = 128 // dim`` heads share a 128-lane panel (full vector
+    register / MXU output width); views are ``(n_groups, c, group*dim)``.
+    """
+    c = wqkv.shape[0]
+    hd = heads * dim
+    group = max(1, min(heads, 128 // dim))
+    while heads % group != 0:
+        group -= 1
+    n_groups = heads // group
+    gd = group * dim
+    wqkv_c = wqkv.astype(dtype)
+    wq = jnp.transpose(wqkv_c[:, :hd].reshape(c, n_groups, gd), (1, 0, 2))
+    wk = jnp.transpose(wqkv_c[:, hd : 2 * hd].reshape(c, n_groups, gd), (1, 0, 2))
+    wv = jnp.transpose(wqkv_c[:, 2 * hd :].reshape(c, n_groups, gd), (1, 0, 2))
+    wo3 = wo.astype(dtype).reshape(n_groups, gd, c)
+    return wq, wk, wv, wo3, group, n_groups
+
+
+def _block_diag_mask(gd: int, dim: int) -> jax.Array:
+    row = jax.lax.broadcasted_iota(jnp.int32, (gd, gd), 0) // dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (gd, gd), 1) // dim
+    return (row == col).astype(jnp.float32)
+
+
+def _blockwise_q_softmax(q, n, group, dim, scale):
+    """Per-head softmax over each dim-wide feature block of a (n, g*d) panel."""
+    stats = []
+    for h in range(group):
+        m = jnp.max(q[:, h * dim : (h + 1) * dim], axis=-1, keepdims=True)
+        stats.append(jnp.broadcast_to(m, (n, dim)))
+    q = jnp.exp(q - jnp.concatenate(stats, axis=-1))
+    sums = []
+    for h in range(group):
+        s = jnp.sum(q[:, h * dim : (h + 1) * dim], axis=-1, keepdims=True)
+        sums.append(jnp.broadcast_to(s, (n, dim)))
+    q = q / jnp.concatenate(sums, axis=-1)
+    if scale != 1.0:
+        q = q * scale
+    return q
+
+
+def _context_kernel(wk_ref, wv_ref, x_ref, ctx_ref, *, group, dim):
+    """Pass 1: per-frame, per head-GROUP context -> (n_groups, gd, gd).
 
     Needs the whole frame in VMEM (the k-softmax normalizes over ALL n
-    tokens), but holds only one head's k/v at a time (fori + head-major
-    weights), so it fits even at n = 64*64.
+    tokens), but holds only one 128-lane group's k/v at a time (fori +
+    group-major weights), so it fits even at n = 64*64. The (gd, gd)
+    context is masked block-diagonal so heads never mix.
     """
-    x = x_ref[0]  # (n, c)
-    xf = x.astype(jnp.float32)
+    x = x_ref[0]  # (n, c) — matmuls in the input dtype, f32 softmax/accum
+    gd = group * dim
+    mask = _block_diag_mask(gd, dim)
 
-    def body(h, _):
-        k = jnp.dot(xf, wk_ref[h], preferred_element_type=jnp.float32)  # (n, D)
+    def body(g, _):
+        k = jnp.dot(x, wk_ref[g], preferred_element_type=jnp.float32)  # (n, gd)
+        # k-softmax is over the token axis (column-wise) — head-independent.
         k = k - jnp.max(k, axis=0, keepdims=True)
         ek = jnp.exp(k)
         k = ek / jnp.sum(ek, axis=0, keepdims=True)
-        v = jnp.dot(xf, wv_ref[h], preferred_element_type=jnp.float32)
+        v = jnp.dot(x, wv_ref[g], preferred_element_type=jnp.float32)
         ctx = jax.lax.dot_general(
-            k, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            k.astype(x.dtype), v.astype(x.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (D, D)
-        ctx_ref[0, h] = ctx
+        )  # (gd, gd)
+        ctx_ref[0, g] = ctx * mask
         return 0
 
-    jax.lax.fori_loop(0, heads, body, 0)
+    jax.lax.fori_loop(0, wk_ref.shape[0], body, 0)
 
 
-def _out_kernel(wq_ref, wo_ref, ctx_ref, x_ref, out_ref, *, heads, dim, scale):
-    """Pass 2: token-chunked q-softmax and output projection.
+def _out_kernel(wq_ref, wo_ref, ctx_ref, x_ref, out_ref, *, group, dim, scale):
+    """Pass 2: token-chunked q-softmax and output projection, per group.
 
     The q softmax is strictly per-token, so the token axis chunks freely in
     the grid; each program reads the tiny per-frame contexts and writes its
     chunk of ``x + y``.
     """
-    x = x_ref[0]  # (nc, c)
-    xf = x.astype(jnp.float32)
-    nc, c = xf.shape
+    x = x_ref[0]  # (nc, c) — matmuls in the input dtype, f32 softmax/accum
+    nc, c = x.shape
 
-    def body(h, y):
-        q = jnp.dot(xf, wq_ref[h], preferred_element_type=jnp.float32)  # (nc, D)
-        q = q - jnp.max(q, axis=-1, keepdims=True)
-        eq = jnp.exp(q)
-        q = eq / jnp.sum(eq, axis=-1, keepdims=True)
-        if scale != 1.0:
-            q = q * scale
-        o = jnp.dot(q, ctx_ref[0, h], preferred_element_type=jnp.float32)  # (nc, D)
-        return y + jnp.dot(o, wo_ref[h], preferred_element_type=jnp.float32)
+    def body(g, y):
+        q = jnp.dot(x, wq_ref[g], preferred_element_type=jnp.float32)  # (nc, gd)
+        q = _blockwise_q_softmax(q, nc, group, dim, scale)
+        o = jnp.dot(
+            q.astype(x.dtype), ctx_ref[0, g].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )  # (nc, gd) — cross-head terms are zero (block-diagonal context)
+        return y + jnp.dot(
+            o.astype(x.dtype), wo_ref[g], preferred_element_type=jnp.float32
+        )
 
-    y = jax.lax.fori_loop(0, heads, body, jnp.zeros((nc, c), jnp.float32))
+    y = jax.lax.fori_loop(0, wq_ref.shape[0], body, jnp.zeros((nc, c), jnp.float32))
     out_ref[0] = x + y.astype(x.dtype)
 
 
-def _forward_two_pass(x, wq, wk, wv, wo3, heads, dim, scale):
+def _forward_two_pass(x, wqkv, wo, heads, dim, scale):
     """Large-n path (e.g. 64*64 tokens): contexts per frame, then chunked out."""
     b, f, hh, ww, c = x.shape
     n = hh * ww
     frames = b * f
     xt = x.reshape(frames, n, c)
+    wq, wk, wv, wo3, group, n_groups = _group_views(wqkv, wo, heads, dim, x.dtype)
+    gd = group * dim
 
     ctx = pl.pallas_call(
-        functools.partial(_context_kernel, heads=heads, dim=dim),
+        functools.partial(_context_kernel, group=group, dim=dim),
         grid=(frames,),
         in_specs=[
-            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, heads, dim, dim), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((frames, heads, dim, dim), jnp.float32),
+        out_specs=pl.BlockSpec((1, n_groups, gd, gd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((frames, n_groups, gd, gd), jnp.float32),
         interpret=FORCE_INTERPRET,
     )(wk, wv, xt)
 
-    nc = min(n, 1024)
+    nc = min(n, 2048)
     while n % nc != 0:
         nc //= 2
     out = pl.pallas_call(
-        functools.partial(_out_kernel, heads=heads, dim=dim, scale=scale),
+        functools.partial(_out_kernel, group=group, dim=dim, scale=scale),
         grid=(frames, n // nc),
         in_specs=[
-            pl.BlockSpec((heads, c, dim), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, dim, c), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, heads, dim, dim), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -266,33 +309,18 @@ def _two_pass_supported(x) -> bool:
 def _forward(x, wqkv, wo, heads, dim, scale):
     if not _supported(x, heads, dim):
         if _two_pass_supported(x):
-            # Large-n frames (e.g. 64x64 tokens): head-major weights, two
+            # Large-n frames (e.g. 64x64 tokens): group-major weights, two
             # Pallas passes (contexts, then chunked outputs).
-            b, f, hh, ww, c = x.shape
-            hd = heads * dim
-            wq_h = jnp.transpose(wqkv[:, :hd].reshape(c, heads, dim), (1, 0, 2))
-            wk_h = jnp.transpose(wqkv[:, hd : 2 * hd].reshape(c, heads, dim), (1, 0, 2))
-            wv_h = jnp.transpose(wqkv[:, 2 * hd :].reshape(c, heads, dim), (1, 0, 2))
-            wo_h = wo.reshape(heads, dim, c)
-            return _forward_two_pass(x, wq_h, wk_h, wv_h, wo_h, heads, dim, scale)
+            return _forward_two_pass(x, wqkv, wo, heads, dim, scale)
         return _composite_xla(x, wqkv, wo, heads, dim, scale)
     b, f, hh, ww, c = x.shape
     n = hh * ww
     frames = b * f
     xt = x.reshape(frames, n, c)
-    hd = heads * dim
-    # Heads per 128-lane group (at least 1; heads must divide evenly).
-    group = max(1, min(heads, 128 // dim))
-    while heads % group != 0:
-        group -= 1
-    n_groups = heads // group
-    gd = group * dim
     # Group-major weight views for leading-dim indexing inside the kernel:
     # (n_groups, c, group*dim) with heads laid out contiguously per group.
-    wq = jnp.transpose(wqkv[:, :hd].reshape(c, n_groups, gd), (1, 0, 2))
-    wk = jnp.transpose(wqkv[:, hd : 2 * hd].reshape(c, n_groups, gd), (1, 0, 2))
-    wv = jnp.transpose(wqkv[:, 2 * hd :].reshape(c, n_groups, gd), (1, 0, 2))
-    wo3 = wo.reshape(n_groups, gd, c)
+    wq, wk, wv, wo3, group, n_groups = _group_views(wqkv, wo, heads, dim, x.dtype)
+    gd = group * dim
     kernel = functools.partial(_kernel, group=group, dim=dim, scale=scale)
     out = pl.pallas_call(
         kernel,

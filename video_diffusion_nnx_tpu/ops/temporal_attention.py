@@ -1,4 +1,4 @@
-"""Fused temporal-attention block as a Pallas TPU kernel.
+"""Fused temporal-attention block (forward + backward) as Pallas TPU kernels.
 
 Replaces the composite XLA path for the Unet3D temporal attention block
 (``Residual(PreNorm(EinopsToAndFrom('b f h w c', 'b (h w) f c', MHA)))`` in
@@ -15,25 +15,30 @@ U-Net's top level that is ~0.5 GB in f32), the ``f x f`` attention matrix
 streams a tile of spatial tokens into VMEM, computes QKV projection ->
 attention -> output projection -> residual entirely on-chip, and writes only
 the final residual sum back: HBM traffic drops from ~9 tensors to 2 (read x,
-write out).
+write out). The backward kernel does the same for training: one pass that
+recomputes the per-head attention on-chip and emits dx plus all four weight
+gradients, instead of XLA re-materializing every intermediate in HBM.
 
 Kernel shape strategy
 ---------------------
-* QKV and output projections are single 2-D matmuls per tile
-  (``(BT*F, C) @ (C, 3*H*D)`` and ``(BT*F, H*D) @ (H*D, C)``) — proper MXU
-  shapes with f32 accumulation.
-* The attention core is evaluated on the VPU via a static unroll over the
-  ``F`` query frames (broadcast-multiply-reduce), avoiding batched
-  ``dot_general`` (small ``F x D`` matmuls would waste the 128x128 MXU and
-  batched dots are fragile in Mosaic). Its FLOP count is negligible next to
-  the projections.
-* Softmax is computed in f32 with the usual max-subtraction.
+* Heads are processed one at a time with ``jax.lax.fori_loop`` over
+  *head-major* weight views (``(heads, c, 3*dim)`` packed q|k|v): dynamic
+  leading-dim ref indexing lowers to a VMEM slice (supported by Mosaic),
+  and only ONE head's buffers are live at a time — this is what lets the
+  token tile grow past the old Python-unrolled kernel's 1024/2048 envelope.
+* Per-head projections are ``(BT*F, C) @ (C, 3*D)`` matmuls (3*D = 96 lanes
+  pads to 128 — 25% pad waste vs 4x for D=32-wide per-head views).
+* Matmul operands stay in the input dtype (bf16 in the production policy ->
+  native MXU bf16 throughput) with f32 accumulation
+  (``preferred_element_type``); softmax statistics are always f32.
+* The attention core is batched ``dot_general`` over the token tile;
+  weight-gradient outputs accumulate across the (sequential) TPU grid via
+  a constant out-block index map.
 
-The public wrapper handles tiling (largest power-of-two tile that divides
-the token count within a VMEM budget), falls back to pure-XLA composite math
-when shapes are unsupported, and defines a custom VJP whose backward pass
-recomputes through the XLA composite (correct gradients; the fusion win is
-inference/sampling, which is gradient-free).
+The public wrapper handles tiling, falls back to pure-XLA composite math
+when shapes are unsupported, and defines a custom VJP: the backward pass is
+the fused Pallas kernel on TPU (verified against the composite VJP in
+interpret mode) and the XLA-composite VJP elsewhere.
 """
 
 from __future__ import annotations
@@ -41,76 +46,107 @@ from __future__ import annotations
 import functools
 import math
 
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Max frames supported by the static unroll (reference max_distance=32 and
+# Max frames supported per program invocation (reference max_distance=32 and
 # the rel-pos bias docstring note that more frames are unrealistic).
 MAX_FRAMES = 32
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 # Test hook: run the Pallas kernel in interpreter mode on CPU so the kernel
 # math itself is exercised without TPU hardware.
 FORCE_INTERPRET = False
 
-# Token-tile envelope: largest bt*f per program, by channel width.
-# Empirically VMEM-validated on this toolchain with the per-head output
-# accumulation below: narrow levels (c<=64, where lane padding dominates)
-# fit 2048 tokens*frames (~5% faster than 1024; 4096 blows the 16 MB VMEM
-# stack); wide levels (c=128..256) only fit 1024 (the y/x buffers scale
-# with c).
-_ENVELOPE_NARROW = 2048
-_ENVELOPE_WIDE = 1024
+# Token-tile envelopes: largest *padded* bt*f per program (halved for f32).
+# Forward (packed projection + Python-unrolled heads) keeps every head's
+# buffers live, so it is tighter per token but needs fewer MXU N-tiles;
+# the fori-loop backward holds one head at a time. Both validated on this
+# toolchain against the 16 MB VMEM stack (incl. double-buffered blocks).
+_ENVELOPE_FWD = 2048
+_ENVELOPE_BWD = 2048
 
 
-def _fused_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim):
-    """Mosaic-lowerable kernel body.
+def _head_attention(xf, wqkv_ref, bqkv_ref, h, bt, f, dim, scale, kv_len):
+    """One head's q/k/v projection + softmax attention (shared fwd/bwd).
 
-    Constraints honored (verified against this Mosaic version): no integer
-    indexing on >2-D arrays (gathers), no reshapes that split the lane
-    (last) dimension. Heads are therefore peeled by *lane slicing* the
-    packed QKV matmul output, and the per-head attention runs as batched
-    ``dot_general`` over the token tile (supported).
+    Returns (q_scaled, k, v, attn): q/k/v in the input dtype (the per-head
+    ``(bt, f, dim)`` panels pad dim->128 lanes and f->8k sublanes, so keeping
+    them f32 doubles the dominant VMEM cost — and the composite computes its
+    qkv einsum in the input dtype anyway); attn is the f32 softmax.
+
+    ``kv_len < f`` means the trailing frames are zero-padding added by the
+    wrapper (Mosaic cannot merge a non-8-multiple frame axis into the token
+    axis): those key columns get -1e9 before softmax, which underflows to an
+    exactly-zero attention weight, so padding never leaks into real outputs
+    or gradients.
+    """
+    qkv = jnp.dot(xf, wqkv_ref[h], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[h]).astype(xf.dtype)  # (BT*F, 3*D)
+    q = (qkv[:, :dim] * jnp.asarray(scale, xf.dtype)).reshape(bt, f, dim)
+    k = qkv[:, dim : 2 * dim].reshape(bt, f, dim)
+    v = qkv[:, 2 * dim :].reshape(bt, f, dim)
+    sim = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (BT, F, F)
+    if kv_len < f:
+        col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
+        sim = jnp.where(col >= kv_len, -1e9, sim)
+    sim = sim - jnp.max(sim, axis=-1, keepdims=True)
+    e = jnp.exp(sim)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    return q, k, v, attn
+
+
+def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim, kv_len):
+    """Forward: out = x + sum_h attn_h(x) @ Wo_h + bo, one token tile.
+
+    Unlike the backward, the forward projects ALL heads in one packed
+    ``(BT*F, C) @ (C, 3*H*D)`` matmul — 3*H*D is a multiple of 128 lanes, so
+    the MXU sweeps 25% fewer N-tiles than per-head 96-lane dots — and peels
+    heads by *static* lane slicing (Python unroll). The resulting extra
+    buffer liveness is why the forward envelope is tile-count-bound while the
+    fori-loop backward can recompute head-by-head.
     """
     bt = x_ref.shape[0]
     c = x_ref.shape[-1]
     hd = heads * dim
     x = x_ref[...]  # (BT, F, C)
+    xf = x.reshape(bt * f, c)
+    scale = jnp.asarray(1.0 / math.sqrt(dim), x.dtype)
 
-    xf = x.reshape(bt * f, c).astype(jnp.float32)
     qkv = jnp.dot(xf, wqkv_ref[...], preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[0]  # (BT*F, 3*H*D), packed q|k|v then per-head
-    scale = 1.0 / math.sqrt(dim)
+    qkv = (qkv + bqkv_ref[0]).astype(x.dtype)  # (BT*F, 3*H*D), q|k|v packed
 
     # Accumulate the output projection per head (y += o_h @ wo_h) instead of
     # concatenating per-head outputs — holding every head's attention output
     # live simultaneously is what blows the VMEM stack at larger tiles.
     y = None
     for h in range(heads):
-        # Lane slices (static) for this head's q/k/v columns.
-        qh = (qkv[:, h * dim : (h + 1) * dim] * scale).reshape(bt, f, dim)
-        kh = qkv[:, hd + h * dim : hd + (h + 1) * dim].reshape(bt, f, dim)
-        vh = qkv[:, 2 * hd + h * dim : 2 * hd + (h + 1) * dim].reshape(bt, f, dim)
-
+        q = (qkv[:, h * dim : (h + 1) * dim] * scale).reshape(bt, f, dim)
+        k = qkv[:, hd + h * dim : hd + (h + 1) * dim].reshape(bt, f, dim)
+        v = qkv[:, 2 * hd + h * dim : 2 * hd + (h + 1) * dim].reshape(bt, f, dim)
         sim = jax.lax.dot_general(
-            qh, kh,
+            q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BT, F, F)
+        if kv_len < f:
+            col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
+            sim = jnp.where(col >= kv_len, -1e9, sim)
         sim = sim - jnp.max(sim, axis=-1, keepdims=True)
         e = jnp.exp(sim)
-        attn = e / jnp.sum(e, axis=-1, keepdims=True)
-
+        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
         oh = jax.lax.dot_general(
-            attn, vh,
+            attn, v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BT, F, D)
         contrib = jnp.dot(
-            oh.reshape(bt * f, dim),
+            oh.reshape(bt * f, dim).astype(x.dtype),
             wo_ref[h * dim : (h + 1) * dim, :],
             preferred_element_type=jnp.float32,
         )  # (BT*F, C)
@@ -120,20 +156,151 @@ def _fused_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, head
     out_ref[...] = x + y.reshape(bt, f, c).astype(x.dtype)
 
 
-def _choose_tile(tokens: int, f: int, c: int, heads: int, dim: int) -> int:
-    # Mosaic pads the lane (last) dim to 128 and keeps every unrolled head's
-    # q/k/v slices live simultaneously, so the binding constraint is
-    # bt * f * max(c, 128) lanes * heads-unroll staying inside VMEM.
-    envelope = _ENVELOPE_NARROW if c <= 64 else _ENVELOPE_WIDE
-    bt = max(1, min(512, envelope // max(f, 1)))
+def _bwd_kernel(
+    x_ref, g_ref, wqkv_ref, bqkv_ref, wo_ref,
+    dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+    *, f, heads, dim, kv_len,
+):
+    """Backward: recompute per-head attention on-chip, emit dx + weight grads.
+
+    Weight-gradient refs use a constant block index map, so every grid
+    program sees the same VMEM block; the TPU grid is sequential, so
+    zero-at-program-0 + accumulate is race-free.
+    """
+    bt = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    x = x_ref[...]
+    g = g_ref[...]
+    xf = x.reshape(bt * f, c)
+    gf32 = g.reshape(bt * f, c).astype(jnp.float32)
+    gc = gf32.astype(x.dtype)  # compute-dtype view for MXU operands
+    scale = 1.0 / math.sqrt(dim)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros(dwqkv_ref.shape, dwqkv_ref.dtype)
+        dbqkv_ref[...] = jnp.zeros(dbqkv_ref.shape, dbqkv_ref.dtype)
+        dwo_ref[...] = jnp.zeros(dwo_ref.shape, dwo_ref.dtype)
+        dbo_ref[...] = jnp.zeros(dbo_ref.shape, dbo_ref.dtype)
+
+    dbo_ref[...] = dbo_ref[...] + jnp.sum(gf32, axis=0, keepdims=True)
+
+    def head_body(h, dxf):
+        q, k, v, attn = _head_attention(xf, wqkv_ref, bqkv_ref, h, bt, f, dim, scale, kv_len)
+        attn_c = attn.astype(x.dtype)
+        oh = jax.lax.dot_general(
+            attn_c, v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (BT, F, D)
+
+        # d(out-proj): dWo_h = oh^T @ g ; do = g @ Wo_h^T
+        dwo_ref[h] = dwo_ref[h] + jax.lax.dot_general(
+            oh.reshape(bt * f, dim).astype(x.dtype), gc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, C)
+        do = jax.lax.dot_general(
+            gc, wo_ref[h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bt, f, dim)  # (BT, F, D)
+        do_c = do.astype(x.dtype)
+
+        # d(attention): softmax VJP in f32.
+        dattn = jax.lax.dot_general(
+            do_c, v,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (BT, F, F)
+        dv = jax.lax.dot_general(
+            attn_c, do_c,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (BT, F, D)
+        ds = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+        ds_c = ds.astype(x.dtype)
+
+        # d(projections): q was pre-scaled, so dq_raw = (ds @ k) * scale.
+        dq = jax.lax.dot_general(
+            ds_c, k.astype(x.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BT, F, D)
+        dk = jax.lax.dot_general(
+            ds_c, q.astype(x.dtype),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (BT, F, D)
+
+        dqkv = jnp.concatenate(
+            [dq.reshape(bt * f, dim), dk.reshape(bt * f, dim), dv.reshape(bt * f, dim)],
+            axis=-1,
+        )  # (BT*F, 3*D) f32
+        dqkv_c = dqkv.astype(x.dtype)
+
+        dwqkv_ref[h] = dwqkv_ref[h] + jax.lax.dot_general(
+            xf, dqkv_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, 3*D)
+        dbqkv_ref[h] = dbqkv_ref[h] + jnp.sum(dqkv, axis=0, keepdims=True)
+
+        return dxf + jax.lax.dot_general(
+            dqkv_c, wqkv_ref[h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BT*F, C)
+
+    dxf = jax.lax.fori_loop(
+        0, heads, head_body, jnp.zeros((bt * f, c), jnp.float32)
+    )
+    # Residual path: dx = g + attention-path gradient.
+    dx_ref[...] = (gf32 + dxf).reshape(bt, f, c).astype(x.dtype)
+
+
+def _choose_tile(tokens: int, f: int, c: int, envelope: int, dtype) -> int:
+    """Largest power-of-two token tile whose *padded* footprint fits.
+
+    The per-head ``(bt, f, dim)`` panels pad f up to a multiple of 8
+    sublanes, so the VMEM cost scales with the padded frame count; f32
+    buffers cost 2x the bf16 ones and wide levels (c > 64) add
+    c-proportional x/y/out panels, so the envelope halves for each.
+    """
+    f_pad = max(8, -(-f // 8) * 8)
+    if jnp.dtype(dtype).itemsize > 2:
+        envelope //= 2
+    if c > 64:
+        envelope //= 2
+    bt = max(1, min(512, envelope // f_pad))
     bt = 1 << (bt.bit_length() - 1)  # floor to power of two
     while bt > 1 and tokens % bt != 0:
         bt //= 2
     return bt
 
 
+def _head_major(wqkv, bqkv, wo, heads: int, dim: int):
+    """Packed (C, 3HD)/(3HD,)/(HD, C) params -> head-major kernel views."""
+    c = wqkv.shape[0]
+    hd = heads * dim
+    # (C, 3, H, D) -> (H, C, 3, D) -> (H, C, 3D): per-head packed q|k|v.
+    w = wqkv.reshape(c, 3, heads, dim).transpose(2, 0, 1, 3).reshape(heads, c, 3 * dim)
+    b = bqkv.reshape(3, heads, dim).transpose(1, 0, 2).reshape(heads, 1, 3 * dim)
+    wo_h = wo.reshape(heads, dim, c)
+    return w, b, wo_h
+
+
+def _from_head_major(dw, db, dwo, heads: int, dim: int):
+    """Head-major gradients back to the public packed layouts."""
+    c = dw.shape[1]
+    dwqkv = dw.reshape(heads, c, 3, dim).transpose(1, 2, 0, 3).reshape(c, 3 * heads * dim)
+    dbqkv = db.reshape(heads, 3, dim).transpose(1, 0, 2).reshape(3 * heads * dim)
+    dwo = dwo.reshape(heads * dim, c)
+    return dwqkv, dbqkv, dwo
+
+
 def _composite_xla(x, wqkv, bqkv, wo, bo, heads: int, dim: int):
-    """Reference math in plain XLA (fallback + custom-VJP backward).
+    """Reference math in plain XLA (fallback + non-TPU backward).
 
     Output dtype is exactly ``x.dtype`` — the custom VJP requires forward
     (Pallas) and backward-recompute paths to agree on JAX types.
@@ -175,25 +342,38 @@ def _forward(x, wqkv, bqkv, wo, bo, heads, dim):
         return _composite_xla(x, wqkv, bqkv, wo, bo, heads, dim)
 
     tokens = b * s
-    bt = _choose_tile(tokens, f, c, heads, dim)
+    bt = _choose_tile(tokens, f, c, _ENVELOPE_FWD, x.dtype)
     xt = x.reshape(tokens, f, c)
-
-    kernel = functools.partial(_fused_kernel, f=f, heads=heads, dim=dim)
+    # Mosaic can only merge the (bt, f) axes into tokens when f is a
+    # sublane multiple: pad the frame axis and mask (see _head_attention).
+    f_pad = max(8, -(-f // 8) * 8)
+    if f_pad != f:
+        xt = jnp.pad(xt, ((0, 0), (0, f_pad - f), (0, 0)))
     hd3 = 3 * heads * dim
+
+    kernel = functools.partial(_fwd_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f)
     out = pl.pallas_call(
         kernel,
         grid=(tokens // bt,),
         in_specs=[
-            pl.BlockSpec((bt, f, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, hd3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hd3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((heads * dim, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, f, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tokens, f, c), x.dtype),
+        out_specs=pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
         interpret=FORCE_INTERPRET,
-    )(xt, wqkv, bqkv.reshape(1, hd3), wo, bo.reshape(1, c))
+    )(
+        xt,
+        wqkv.astype(x.dtype),
+        bqkv.reshape(1, hd3).astype(jnp.float32),
+        wo.astype(x.dtype),
+        bo.reshape(1, c).astype(jnp.float32),
+    )
+    if f_pad != f:
+        out = out[:, :f]
     return out.reshape(b, s, f, c)
 
 
@@ -202,11 +382,66 @@ def _fwd(x, wqkv, bqkv, wo, bo, heads, dim):
 
 
 def _bwd(heads, dim, residuals, g):
-    # Gradients via the XLA composite (numerically equivalent math). The
-    # fused kernel's value is inference-path bandwidth; training recomputes.
+    """Fused Pallas backward on TPU; XLA-composite VJP elsewhere."""
     x, wqkv, bqkv, wo, bo = residuals
-    _, vjp = jax.vjp(lambda *a: _composite_xla(*a, heads, dim), x, wqkv, bqkv, wo, bo)
-    return vjp(g)
+    b, s, f, c = x.shape
+    if not _supported(x, f):
+        _, vjp = jax.vjp(lambda *a: _composite_xla(*a, heads, dim), x, wqkv, bqkv, wo, bo)
+        return vjp(g)
+
+    tokens = b * s
+    bt = _choose_tile(tokens, f, c, _ENVELOPE_BWD, x.dtype)
+    xt = x.reshape(tokens, f, c)
+    gt = g.reshape(tokens, f, c)
+    # Frame-axis padding as in _forward; the padded g rows are zero, so
+    # every padded-frame gradient contribution vanishes exactly.
+    f_pad = max(8, -(-f // 8) * 8)
+    if f_pad != f:
+        xt = jnp.pad(xt, ((0, 0), (0, f_pad - f), (0, 0)))
+        gt = jnp.pad(gt, ((0, 0), (0, f_pad - f), (0, 0)))
+    wq_h, bq_h, wo_h = _head_major(wqkv, bqkv, wo, heads, dim)
+    wq_h = wq_h.astype(x.dtype)
+    wo_h = wo_h.astype(x.dtype)
+
+    kernel = functools.partial(_bwd_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f)
+    const = lambda i: (0, 0, 0)  # noqa: E731 — weight-grad blocks are grid-invariant
+    dx, dw_h, db_h, dwo_h, dbo = pl.pallas_call(
+        kernel,
+        grid=(tokens // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((heads, c, 3 * dim), jnp.float32),
+            jax.ShapeDtypeStruct((heads, 1, 3 * dim), jnp.float32),
+            jax.ShapeDtypeStruct((heads, dim, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(xt, gt, wq_h, bq_h, wo_h)
+
+    if f_pad != f:
+        dx = dx[:, :f]
+    dwqkv, dbqkv, dwo = _from_head_major(dw_h, db_h, dwo_h, heads, dim)
+    return (
+        dx.reshape(b, s, f, c),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(bqkv.dtype),
+        dwo.astype(wo.dtype),
+        dbo.reshape(c).astype(bo.dtype),
+    )
 
 
 fused_temporal_attention_block.defvjp(_fwd, _bwd)
