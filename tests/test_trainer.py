@@ -167,6 +167,22 @@ class TestShardedTraining:
         tr2.train(log_fn=lambda d: losses_tp.append(d["loss"]))
         np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-3)
 
+    def test_sequence_parallel_matches_dp_loss_trajectory(self, npy_path, tmp_path):
+        """Frame-sharded temporal attention (Ulysses-style) is a layout
+        choice: the (data=4, seq=2) run must track the pure-DP losses."""
+        l_dp, l_sp = [], []
+        make_trainer(
+            npy_path, tmp_path / "dp", train_num_steps=3, checkpoint_every_steps=100
+        ).train(log_fn=lambda d: l_dp.append(d["loss"]))
+        tr = make_trainer(
+            npy_path, tmp_path / "sp", train_num_steps=3, checkpoint_every_steps=100,
+            sequence_parallel_size=2,
+        )
+        assert dict(tr.mesh.shape) == {"data": 4, "seq": 2}
+        assert tr.model.denoise_fn.sequence_parallel_mesh is not None
+        tr.train(log_fn=lambda d: l_sp.append(d["loss"]))
+        np.testing.assert_allclose(l_dp, l_sp, rtol=2e-3)
+
 
 class TestGradFeatures:
     def test_grad_clip_changes_trajectory(self, npy_path, tmp_path):

@@ -49,6 +49,7 @@ _TRAINER_DEFAULTS: dict[str, Any] = {
     "param_sharding": "tensor",
     "save_optimizer_state": False,
     "log_every_steps": 1,
+    "sequence_parallel_size": 1,
 }
 
 _UNET_DEFAULTS: dict[str, Any] = {

@@ -99,6 +99,7 @@ class Unet3D(nnx.Module):
         use_fused_attention: bool = False,
         use_fused_spatial_attention: bool = False,
         remat_blocks: bool = False,
+        sequence_parallel_mesh=None,
     ):
         self.channels = channels
         self.log_dims = log_dims
@@ -121,6 +122,14 @@ class Unet3D(nnx.Module):
         # ~30% more forward FLOPs for O(levels) less activation memory —
         # the enabler for 32-frame/128x128-scale training on one chip.
         self.remat_blocks = remat_blocks
+        # Sequence (frame-axis) parallelism: a Mesh with a 'seq' axis routes
+        # every temporal-attention block through the Ulysses-style
+        # all-gather-K/V path in parallel/sequence.py, frame-sharding the
+        # activations. Long-context capability beyond the reference (which
+        # holds the full f x f attention on every device, SURVEY §5).
+        # Compat-mode only (the wrapper chain reduces to x + MHA(x)); takes
+        # precedence over the fused single-chip kernel.
+        self.sequence_parallel_mesh = sequence_parallel_mesh if reference_compat else None
         rotary_emb = None
 
         # Temporal attention: fold the h*w pixels into the batch axis and
@@ -331,6 +340,23 @@ class Unet3D(nnx.Module):
         which is exactly what the fused Pallas kernel computes in one
         VMEM-resident pass.
         """
+        if self.sequence_parallel_mesh is not None and not isinstance(block, Identity):
+            from video_diffusion_nnx_tpu.ops.temporal_attention import pack_mha_weights
+            from video_diffusion_nnx_tpu.parallel.sequence import (
+                sequence_parallel_temporal_attention,
+            )
+
+            mesh = self.sequence_parallel_mesh
+            mha = block.fn.fn.fn
+            b, f, h, w, c = x.shape
+            x_r = x.reshape(b, f, h * w, c).transpose(0, 2, 1, 3)  # (b, hw, f, c)
+            wqkv, bqkv, wo, bo = pack_mha_weights(mha)
+            heads = mha.q.kernel[...].shape[1]
+            y = sequence_parallel_temporal_attention(
+                x_r, wqkv, bqkv, wo, bo, heads, mha.dim, mesh,
+                batch_axis="data" if "data" in mesh.axis_names else None,
+            )
+            return y.transpose(0, 2, 1, 3).reshape(b, f, h, w, c)
         if self.use_fused_attention and not isinstance(block, Identity):
             from video_diffusion_nnx_tpu.ops.temporal_attention import (
                 fused_temporal_attention_block,

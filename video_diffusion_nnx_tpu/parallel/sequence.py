@@ -38,19 +38,23 @@ def sequence_parallel_temporal_attention(
     dim: int,
     mesh: Mesh,
     seq_axis: str = "seq",
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """``x + MHA(x)`` over frames, with frames sharded across ``seq_axis``.
 
     ``x``: ``(b, s, f, c)`` (s = spatial tokens); returns the same shape,
     frame-sharded on ``seq_axis``. Weight packing matches
-    ``ops.temporal_attention.pack_mha_weights``.
+    ``ops.temporal_attention.pack_mha_weights``. ``batch_axis`` keeps the
+    batch dimension sharded (e.g. over ``'data'``) inside the shard_map —
+    without it a data-parallel caller would all-gather the batch here.
     """
     hd = heads * dim
     scale = 1.0 / math.sqrt(dim)
 
     def local_block(x_local, wqkv, bqkv, wo, bo):
-        # x_local: (b, s, f_local, c) — this device's frame slice.
-        qkv = jnp.einsum("bsfc,ck->bsfk", x_local, wqkv) + bqkv
+        # x_local: (b_local, s, f_local, c) — this device's frame slice.
+        wqkv, wo = wqkv.astype(x_local.dtype), wo.astype(x_local.dtype)
+        qkv = jnp.einsum("bsfc,ck->bsfk", x_local, wqkv) + bqkv.astype(x_local.dtype)
         q = qkv[..., :hd] * scale
         k = qkv[..., hd : 2 * hd]
         v = qkv[..., 2 * hd :]
@@ -70,12 +74,13 @@ def sequence_parallel_temporal_attention(
         attn = jax.nn.softmax(sim, axis=-1)
         o = jnp.einsum("bshij,bsjhd->bsihd", attn.astype(x_local.dtype), v)
         o = o.reshape(b, s, fl, hd)
-        return x_local + jnp.einsum("bsfk,kc->bsfc", o, wo) + bo
+        return x_local + jnp.einsum("bsfk,kc->bsfc", o, wo) + bo.astype(x_local.dtype)
 
+    x_spec = P(batch_axis, None, seq_axis, None)
     shard = partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, seq_axis, None), P(), P(), P(), P()),
-        out_specs=P(None, None, seq_axis, None),
+        in_specs=(x_spec, P(), P(), P(), P()),
+        out_specs=x_spec,
     )
     return shard(local_block)(x, wqkv, bqkv, wo, bo)

@@ -119,6 +119,7 @@ class Trainer:
         fsdp_min_size_to_shard: int = 2**14,
         save_optimizer_state: bool = False,
         log_every_steps: int = 1,
+        sequence_parallel_size: int = 1,
     ):
         self.key = jax.random.PRNGKey(rng_seed)
         self.profile_flush_step = profile_flush_step
@@ -130,6 +131,35 @@ class Trainer:
 
         # --- Core components ---
         self.model = diffusion_model
+        # Sequence (frame-axis) parallelism: build the ('data', 'seq') mesh
+        # and attach it to the denoiser BEFORE nnx.split captures the
+        # graphdef — the mesh is static module state that routes temporal
+        # attention through parallel/sequence.py. Long-context capability
+        # beyond the reference (SURVEY §5).
+        self.sequence_parallel_size = sequence_parallel_size
+        self._seq_mesh = None
+        if sequence_parallel_size > 1:
+            assert num_model_shards == 1, (
+                "sequence parallelism composes with data parallelism only"
+            )
+            n = jax.local_device_count()
+            assert n % sequence_parallel_size == 0, (
+                f"{n} devices not divisible by sequence_parallel_size={sequence_parallel_size}"
+            )
+            model_frames = getattr(diffusion_model, "num_frames", num_frames)
+            assert model_frames % sequence_parallel_size == 0, (
+                f"num_frames={model_frames} must divide by sequence_parallel_size"
+            )
+            from video_diffusion_nnx_tpu.parallel.mesh import make_mesh
+
+            self._seq_mesh = make_mesh(
+                (n // sequence_parallel_size, sequence_parallel_size), ("data", "seq")
+            )
+            denoiser = getattr(diffusion_model, "denoise_fn", None)
+            assert denoiser is not None and denoiser.reference_compat, (
+                "sequence parallelism needs a reference_compat denoiser"
+            )
+            denoiser.sequence_parallel_mesh = self._seq_mesh
         self.graphdef, init_params = nnx.split(self.model)
 
         # Hold train_lr until lr_decay_start_step, then cosine-decay to
@@ -162,16 +192,25 @@ class Trainer:
                 "batch_size must divide into gradient_accumulate_every microbatches"
             )
 
-        # --- Device mesh: (data, model) like reference :160-178 ---
+        # --- Device mesh: (data, model) like reference :160-178, or
+        # (data, seq) when sequence parallelism is on ---
         self.n_devices = jax.local_device_count()
-        assert self.batch_size % self.n_devices == 0, (
-            "batch_size must be divisible by number of devices"
-        )
-        self.per_device_bs = self.batch_size // self.n_devices
         self.num_model_shards = num_model_shards
         self.data_axis_name = "data"
         self.model_axis_name = "model"
-        self.mesh = data_model_mesh(self.n_devices, num_model_shards)
+        if self._seq_mesh is not None:
+            data_size = self.n_devices // self.sequence_parallel_size
+            assert self.batch_size % data_size == 0, (
+                "batch_size must be divisible by the data-parallel degree"
+            )
+            self.per_device_bs = self.batch_size // data_size
+            self.mesh = self._seq_mesh
+        else:
+            assert self.batch_size % self.n_devices == 0, (
+                "batch_size must be divisible by number of devices"
+            )
+            self.per_device_bs = self.batch_size // self.n_devices
+            self.mesh = data_model_mesh(self.n_devices, num_model_shards)
         logger.info(
             "Created mesh with shape: %s and axis_names: %s",
             dict(self.mesh.shape),
@@ -182,7 +221,11 @@ class Trainer:
         abstract_params = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), init_params
         )
-        if param_sharding == "fsdp":
+        if self._seq_mesh is not None:
+            # Params replicate on the (data, seq) mesh; the TP specs would
+            # name a 'model' axis this mesh doesn't have.
+            param_specs = jax.tree_util.tree_map(lambda _: P(), abstract_params)
+        elif param_sharding == "fsdp":
             # ZeRO-style: shard params/opt/EMA over the data axis (capability
             # beyond the reference, which replicates them on 'data').
             from video_diffusion_nnx_tpu.parallel.sharding import fsdp_partition_specs
