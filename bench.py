@@ -47,6 +47,9 @@ def main() -> None:
             channels=channels,
             compute_dtype=compute_dtype,
             use_fused_attention=fused,
+            # Sampling-only win (the spatial kernel's VJP recomputes through
+            # the composite, so training keeps the composite path).
+            use_fused_spatial_attention=fused,
         )
         return GaussianDiffusion(
             unet,

@@ -120,17 +120,20 @@ def _block_diag_mask(gd: int, dim: int) -> jax.Array:
 
 
 def _blockwise_q_softmax(q, n, group, dim, scale):
-    """Per-head softmax over each dim-wide feature block of a (n, g*d) panel."""
-    stats = []
-    for h in range(group):
-        m = jnp.max(q[:, h * dim : (h + 1) * dim], axis=-1, keepdims=True)
-        stats.append(jnp.broadcast_to(m, (n, dim)))
-    q = jnp.exp(q - jnp.concatenate(stats, axis=-1))
-    sums = []
-    for h in range(group):
-        s = jnp.sum(q[:, h * dim : (h + 1) * dim], axis=-1, keepdims=True)
-        sums.append(jnp.broadcast_to(s, (n, dim)))
-    q = q / jnp.concatenate(sums, axis=-1)
+    """Per-head softmax over each dim-wide feature block of a (n, g*d) panel.
+
+    Two VPU-friendly tricks replace per-block slicing/concat machinery:
+    * the max subtracted before exp is the ROW max (over all g*d lanes) —
+      any per-row constant shared within a block cancels in the softmax
+      ratio, and the row max >= each block max, so exp never overflows;
+    * the per-block sums broadcast back to lanes via ONE matmul with the
+      block-diagonal 0/1 mask (MXU) instead of slice+reduce+concat.
+    """
+    gd = group * dim
+    m = jnp.max(q, axis=-1, keepdims=True)
+    e = jnp.exp(q - m)
+    s = jnp.dot(e, _block_diag_mask(gd, dim), preferred_element_type=jnp.float32)
+    q = e / s
     if scale != 1.0:
         q = q * scale
     return q
@@ -147,17 +150,24 @@ def _context_kernel(wk_ref, wv_ref, x_ref, ctx_ref, *, group, dim):
     x = x_ref[0]  # (n, c) — matmuls in the input dtype, f32 softmax/accum
     gd = group * dim
     mask = _block_diag_mask(gd, dim)
+    # k is computed TRANSPOSED, (gd, n): its softmax normalizes over the
+    # token axis, and on the lane (last) axis that reduction is a fast
+    # within-register VPU op instead of a cross-sublane one.
+    xT = x.T  # (c, n)
 
     def body(g, _):
-        k = jnp.dot(x, wk_ref[g], preferred_element_type=jnp.float32)  # (n, gd)
-        # k-softmax is over the token axis (column-wise) — head-independent.
-        k = k - jnp.max(k, axis=0, keepdims=True)
-        ek = jnp.exp(k)
-        k = ek / jnp.sum(ek, axis=0, keepdims=True)
+        kT = jax.lax.dot_general(
+            wk_ref[g], xT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, n) = (x @ wk)^T
+        kT = kT - jnp.max(kT, axis=-1, keepdims=True)
+        ek = jnp.exp(kT)
+        kT = ek / jnp.sum(ek, axis=-1, keepdims=True)
         v = jnp.dot(x, wv_ref[g], preferred_element_type=jnp.float32)
         ctx = jax.lax.dot_general(
-            k.astype(x.dtype), v.astype(x.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            kT.astype(x.dtype), v.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (gd, gd)
         ctx_ref[0, g] = ctx * mask
