@@ -29,6 +29,7 @@ dead code with no effect on the chain, so not reproduced.
 from __future__ import annotations
 
 import logging
+from collections import OrderedDict
 from functools import partial
 from typing import Any
 
@@ -48,8 +49,42 @@ logger = logging.getLogger(__name__)
 
 # Compiled-sampler cache: the scan program depends only on (graphdef, shape,
 # T, mesh, batch spec, cond_scale, has_cond) — re-sampling with new weights
-# or keys reuses the compiled executable.
-_SAMPLE_SCAN_CACHE: dict = {}
+# or keys reuses the compiled executable. Bounded LRU: each entry pins a
+# compiled XLA executable, so an unbounded dict would leak one per
+# (model, shape, cond) variant for the process lifetime.
+_SAMPLE_SCAN_CACHE: OrderedDict = OrderedDict()
+_SAMPLE_SCAN_CACHE_MAX = 8
+
+
+def _cache_get(key):
+    fn = _SAMPLE_SCAN_CACHE.get(key)
+    if fn is not None:
+        _SAMPLE_SCAN_CACHE.move_to_end(key)
+    return fn
+
+
+def _cache_put(key, fn):
+    _SAMPLE_SCAN_CACHE[key] = fn
+    while len(_SAMPLE_SCAN_CACHE) > _SAMPLE_SCAN_CACHE_MAX:
+        _SAMPLE_SCAN_CACHE.popitem(last=False)
+    return fn
+
+
+def _sampler_batch_spec(batch_size: int, mesh: Mesh) -> P:
+    """Data-sharded batch spec, or replicated (with a warning) when the
+    batch does not divide across the mesh's data axis."""
+    n_shards = mesh.shape.get("data", 1)
+    if n_shards <= 1:
+        return P()
+    if batch_size % n_shards == 0:
+        return P("data")
+    logger.warning(
+        "sampling batch %d does not divide across %d data shards; running "
+        "replicated (no data parallelism). Pad the batch to a multiple of "
+        "%d to engage all devices.",
+        batch_size, n_shards, n_shards,
+    )
+    return P()
 
 
 def _build_sample_scan(
@@ -62,7 +97,7 @@ def _build_sample_scan(
     has_cond: bool,
 ):
     cache_key = (graphdef, shape, num_timesteps, mesh, batch_spec, cond_scale, has_cond)
-    cached = _SAMPLE_SCAN_CACHE.get(cache_key)
+    cached = _cache_get(cache_key)
     if cached is not None:
         return cached
 
@@ -101,8 +136,7 @@ def _build_sample_scan(
             in_shardings=(repl, repl),
             out_shardings=img_sharding,
         )
-    _SAMPLE_SCAN_CACHE[cache_key] = jitted
-    return jitted
+    return _cache_put(cache_key, jitted)
 
 
 class GaussianDiffusion(nnx.Module):
@@ -270,10 +304,7 @@ class GaussianDiffusion(nnx.Module):
 
         if mesh is None:
             mesh = data_parallel_mesh()
-        n_shards = mesh.shape.get("data", 1)
-        batch_spec = (
-            P("data") if batch_size % max(n_shards, 1) == 0 and n_shards > 1 else P()
-        )
+        batch_spec = _sampler_batch_spec(batch_size, mesh)
         run = _build_sample_scan(
             graphdef,
             tuple(shape),
@@ -315,10 +346,7 @@ class GaussianDiffusion(nnx.Module):
         graphdef, state = nnx.split(self)
         if mesh is None:
             mesh = data_parallel_mesh()
-        n_shards = mesh.shape.get("data", 1)
-        batch_spec = (
-            P("data") if batch_size % max(n_shards, 1) == 0 and n_shards > 1 else P()
-        )
+        batch_spec = _sampler_batch_spec(batch_size, mesh)
         repl = NamedSharding(mesh, P())
         img_sharding = NamedSharding(mesh, batch_spec)
 
@@ -328,7 +356,7 @@ class GaussianDiffusion(nnx.Module):
             graphdef, shape, self.num_timesteps, num_steps, mesh, batch_spec, cs, et,
             cond is not None,
         )
-        cached = _SAMPLE_SCAN_CACHE.get(cache_key)
+        cached = _cache_get(cache_key)
         if cached is not None:
             if cond is None:
                 return cached(state, key)
@@ -386,7 +414,7 @@ class GaussianDiffusion(nnx.Module):
                 in_shardings=(repl, repl),
                 out_shardings=img_sharding,
             )
-        _SAMPLE_SCAN_CACHE[cache_key] = jitted
+        _cache_put(cache_key, jitted)
         if cond is None:
             return jitted(state, key)
         return jitted(state, key, cond)
