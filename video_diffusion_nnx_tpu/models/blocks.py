@@ -9,10 +9,13 @@ TPU-first design
 * GroupNorm must see the *unfolded* ``(b, f, h, w, c)`` tensor — its
   statistics reduce over frames, space, and the channels of each group per
   sample (folding frames into batch would wrongly compute per-frame stats).
-* GroupNorm + FiLM + SiLU is a single memory-bound elementwise chain after
-  the reduction; ``ops/groupnorm.py`` provides a fused Pallas kernel, with
-  the XLA path below as the always-available fallback (XLA fuses most of
-  this on its own).
+* GroupNorm + FiLM + SiLU stays on the XLA path deliberately: XLA already
+  fuses the whole chain into the conv epilogue. Measured at the L0 bench
+  shape (b8, 16f, 64x64, c32, bf16, one v5e chip): full Block 2.21 ms vs
+  the conv alone 1.81 ms — the epilogue costs ~0.4 ms fused, while the
+  same chain standalone costs 1.59 ms. A Pallas kernel could only win by
+  also beating XLA's (1,3,3) conv, which is out of scope (SURVEY §7 step 9
+  descoped on this measurement).
 """
 
 from __future__ import annotations
