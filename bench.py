@@ -47,8 +47,6 @@ def main() -> None:
             channels=channels,
             compute_dtype=compute_dtype,
             use_fused_attention=fused,
-            # Sampling-only win (the spatial kernel's VJP recomputes through
-            # the composite, so training keeps the composite path).
             use_fused_spatial_attention=fused,
         )
         return GaussianDiffusion(
@@ -109,6 +107,7 @@ def main() -> None:
             channels=channels,
             compute_dtype="bfloat16",
             use_fused_attention=fused,
+            use_fused_spatial_attention=fused,
         )
         diff = GaussianDiffusion(
             unet, image_size=size, num_frames=t_frames, channels=channels,

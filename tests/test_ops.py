@@ -220,6 +220,89 @@ class TestFusedSpatialLinearAttention:
         )
 
 
+class TestFusedSpatialBackward:
+    """The Pallas backward (3-pass) vs the composite VJP, interpret mode."""
+
+    def _grads(self, fn, x, wqkv, wo, heads, dim, scale):
+        def loss(x, wqkv, wo):
+            return jnp.sum(fn(x, wqkv, wo, heads, dim, scale).astype(jnp.float32) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(x, wqkv, wo)
+
+    def test_backward_pallas_matches_composite(self):
+        sla = SpatialLinearAttention(16, heads=4, D=8, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4, 16))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        g = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+        got = sla_ops._backward_pallas(x, wqkv, wo, g, 4, 8, 1.0)
+        _, vjp = jax.vjp(
+            lambda *a: sla_ops._composite_xla(*a, 4, 8, 1.0), x, wqkv, wo
+        )
+        want = vjp(g)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_backward_pallas_fixed_scale_multi_chunk(self):
+        """Fixed-math scale + a token count that forces several q-chunks."""
+        sla = SpatialLinearAttention(8, heads=2, D=4, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8, 8, 8))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        g = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+        scale = 4 ** -0.5
+        orig = sla_ops._token_chunk
+        try:
+            sla_ops._token_chunk = lambda n: max(16, orig(n) // 4)
+            got = sla_ops._backward_pallas(x, wqkv, wo, g, 2, 4, scale)
+        finally:
+            sla_ops._token_chunk = orig
+        _, vjp = jax.vjp(
+            lambda *a: sla_ops._composite_xla(*a, 2, 4, scale), x, wqkv, wo
+        )
+        want = vjp(g)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_custom_vjp_routes_to_pallas(self, monkeypatch):
+        """grad of the public block uses the Pallas backward in interpret mode."""
+        called = {}
+        orig = sla_ops._backward_pallas
+
+        def spy(*a, **k):
+            called["pallas_bwd"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(sla_ops, "_backward_pallas", spy)
+        sla = SpatialLinearAttention(8, heads=2, D=4, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 8))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+
+        gx = jax.grad(
+            lambda x: jnp.sum(
+                sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, 2, 4, 1.0) ** 2
+            )
+        )(x)
+        assert called.get("pallas_bwd")
+        gx_ref = jax.grad(
+            lambda x: jnp.sum(sla_ops._composite_xla(x, wqkv, wo, 2, 4, 1.0) ** 2)
+        )(x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
+
+    def test_bf16_backward(self):
+        sla = SpatialLinearAttention(16, heads=4, D=8, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 16)).astype(jnp.bfloat16)
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        g = jax.random.normal(jax.random.PRNGKey(1), x.shape).astype(jnp.bfloat16)
+        got = sla_ops._backward_pallas(x, wqkv, wo, g, 4, 8, 1.0)
+        _, vjp = jax.vjp(
+            lambda *a: sla_ops._composite_xla(*a, 4, 8, 1.0), x, wqkv, wo
+        )
+        want = vjp(g)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=0.1, atol=0.25
+            )
+
+
 class TestTwoPassSpatialAttention:
     def test_two_pass_matches_module(self):
         """Large-n two-pass kernel == x + SLA(x) (interpret mode)."""

@@ -201,16 +201,11 @@ def _out_kernel(wq_ref, wo_ref, ctx_ref, x_ref, out_ref, *, group, dim, scale):
     out_ref[0] = x + y.astype(x.dtype)
 
 
-def _forward_two_pass(x, wqkv, wo, heads, dim, scale):
-    """Large-n path (e.g. 64*64 tokens): contexts per frame, then chunked out."""
-    b, f, hh, ww, c = x.shape
-    n = hh * ww
-    frames = b * f
-    xt = x.reshape(frames, n, c)
-    wq, wk, wv, wo3, group, n_groups = _group_views(wqkv, wo, heads, dim, x.dtype)
-    gd = group * dim
-
-    ctx = pl.pallas_call(
+def _ctx_pallas(xt, wk, wv, group, dim):
+    """Per-frame, per-group block-diagonal contexts (pass 1 / bwd recompute)."""
+    frames, n, c = xt.shape
+    n_groups, _, gd = wk.shape
+    return pl.pallas_call(
         functools.partial(_context_kernel, group=group, dim=dim),
         grid=(frames,),
         in_specs=[
@@ -223,9 +218,26 @@ def _forward_two_pass(x, wqkv, wo, heads, dim, scale):
         interpret=FORCE_INTERPRET,
     )(wk, wv, xt)
 
+
+def _token_chunk(n: int) -> int:
     nc = min(n, 2048)
     while n % nc != 0:
         nc //= 2
+    return nc
+
+
+def _forward_two_pass(x, wqkv, wo, heads, dim, scale):
+    """Large-n path (e.g. 64*64 tokens): contexts per frame, then chunked out."""
+    b, f, hh, ww, c = x.shape
+    n = hh * ww
+    frames = b * f
+    xt = x.reshape(frames, n, c)
+    wq, wk, wv, wo3, group, n_groups = _group_views(wqkv, wo, heads, dim, x.dtype)
+    gd = group * dim
+
+    ctx = _ctx_pallas(xt, wk, wv, group, dim)
+
+    nc = _token_chunk(n)
     out = pl.pallas_call(
         functools.partial(_out_kernel, group=group, dim=dim, scale=scale),
         grid=(frames, n // nc),
@@ -349,12 +361,256 @@ def _forward(x, wqkv, wo, heads, dim, scale):
     return out.reshape(b, f, hh, ww, c)
 
 
+def _bwd_q_kernel(
+    wq_ref, wo_ref, ctx_ref, x_ref, g_ref,
+    dx_ref, dctx_ref, dwq_ref, dwo_ref,
+    *, group, dim, scale,
+):
+    """Backward pass 1 (token-chunked): the q/out-projection path.
+
+    Recomputes q-softmax and the attention output for one token chunk and
+    emits dx_q = g + dq @ wq^T plus the dctx cotangent (accumulated across
+    the chunk axis; the TPU grid is sequential so zero-at-chunk-0 +
+    accumulate is race-free) and the dwq/dwo weight gradients (accumulated
+    across the whole grid via constant out-block index maps).
+    """
+    x = x_ref[0]  # (nc, c)
+    g = g_ref[0]
+    nc, c = x.shape
+    gd = group * dim
+    gf32 = g.astype(jnp.float32)
+    gc = gf32.astype(x.dtype)
+    mask = _block_diag_mask(gd, dim)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _init_w():
+        dwq_ref[...] = jnp.zeros(dwq_ref.shape, dwq_ref.dtype)
+        dwo_ref[...] = jnp.zeros(dwo_ref.shape, dwo_ref.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init_ctx():
+        dctx_ref[...] = jnp.zeros(dctx_ref.shape, dctx_ref.dtype)
+
+    def body(gi, y):
+        q = jnp.dot(x, wq_ref[gi], preferred_element_type=jnp.float32)  # (nc, gd)
+        p = _blockwise_q_softmax(q, nc, group, dim, 1.0)  # f32 probabilities
+        qs_c = (p * scale).astype(x.dtype)
+        o = jnp.dot(
+            qs_c, ctx_ref[0, gi].astype(x.dtype), preferred_element_type=jnp.float32
+        )  # (nc, gd)
+
+        dwo_ref[gi] = dwo_ref[gi] + jax.lax.dot_general(
+            o.astype(x.dtype), gc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, c)
+        do = jax.lax.dot_general(
+            gc, wo_ref[gi],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (nc, gd)
+        do_c = do.astype(x.dtype)
+
+        dctx_ref[0, gi] = dctx_ref[0, gi] + mask * jax.lax.dot_general(
+            qs_c, do_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, gd); cross-head entries were masked in the forward
+
+        dqs = jax.lax.dot_general(
+            do_c, ctx_ref[0, gi].astype(x.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (nc, gd) = do @ ctx^T
+        # Blockwise-softmax VJP: dq = p * (dp - sum_block(dp * p)); the
+        # per-block sums broadcast back to lanes via the 0/1 mask matmul.
+        dp = dqs * scale
+        t = jnp.dot(dp * p, mask, preferred_element_type=jnp.float32)
+        dq = p * (dp - t)
+        dq_c = dq.astype(x.dtype)
+
+        dwq_ref[gi] = dwq_ref[gi] + jax.lax.dot_general(
+            x, dq_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (c, gd)
+        return y + jax.lax.dot_general(
+            dq_c, wq_ref[gi],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (nc, c)
+
+    y = jax.lax.fori_loop(0, wq_ref.shape[0], body, jnp.zeros((nc, c), jnp.float32))
+    # Residual path: dx_q = g + q-path gradient (the k/v path adds in pass 2).
+    dx_ref[0] = (gf32 + y).astype(dx_ref.dtype)
+
+
+def _bwd_kv_kernel(
+    wk_ref, wv_ref, x_ref, dctx_ref, dxp_ref,
+    dx_ref, dwk_ref, dwv_ref,
+    *, group, dim,
+):
+    """Backward pass 2 (per frame): the k/v path, in transposed layout.
+
+    The k-softmax normalizes over ALL n tokens, so the whole frame must be
+    in VMEM; everything is computed as (gd, n) panels so the token-axis
+    softmax statistics and VJP reductions run along lanes (fast VPU ops).
+    Only one head group's panels are live at a time (fori + group-major
+    weights). dx = dx_partial (from pass 1) + dk @ wk^T + dv @ wv^T.
+    """
+    x = x_ref[0]  # (n, c)
+    n, c = x.shape
+    xT = x.T  # (c, n)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_w():
+        dwk_ref[...] = jnp.zeros(dwk_ref.shape, dwk_ref.dtype)
+        dwv_ref[...] = jnp.zeros(dwv_ref.shape, dwv_ref.dtype)
+
+    def body(gi, dxT):
+        kT = jax.lax.dot_general(
+            wk_ref[gi], xT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, n) = (x @ wk)^T
+        kT = kT - jnp.max(kT, axis=-1, keepdims=True)
+        ek = jnp.exp(kT)
+        sT = ek / jnp.sum(ek, axis=-1, keepdims=True)  # f32 probabilities
+        sT_c = sT.astype(x.dtype)
+        vT = jax.lax.dot_general(
+            wv_ref[gi], xT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, n)
+        dctx_c = dctx_ref[0, gi].astype(x.dtype)
+
+        # ctx[d, e] = sum_n s[n, d] v[n, e]  (transposed: sT (d, n), vT (e, n))
+        dsT = jax.lax.dot_general(
+            dctx_c, vT.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, n): dsT[d, n] = sum_e dctx[d, e] vT[e, n]
+        dvT = jax.lax.dot_general(
+            dctx_c, sT_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, n): dvT[e, n] = sum_d dctx[d, e] sT[d, n]
+
+        # Token-axis softmax VJP, reduced along lanes.
+        dkT = sT * (dsT - jnp.sum(dsT * sT, axis=-1, keepdims=True))
+        dkT_c = dkT.astype(x.dtype)
+        dvT_c = dvT.astype(x.dtype)
+
+        # Weight grads in TRANSPOSED form: dwk^T = dk^T @ x is a plain
+        # (gd, n) @ (n, c) matmul (no cross-lane contraction); the caller
+        # transposes back once outside the kernel.
+        dwk_ref[gi] = dwk_ref[gi] + jnp.dot(
+            dkT_c, x, preferred_element_type=jnp.float32
+        )  # (gd, c)
+        dwv_ref[gi] = dwv_ref[gi] + jnp.dot(
+            dvT_c, x, preferred_element_type=jnp.float32
+        )  # (gd, c)
+
+        # dxT += wk @ dkT + wv @ dvT  (each (c, gd) @ (gd, n) -> (c, n))
+        dxT = dxT + jnp.dot(wk_ref[gi], dkT_c, preferred_element_type=jnp.float32)
+        return dxT + jnp.dot(wv_ref[gi], dvT_c, preferred_element_type=jnp.float32)
+
+    dxT = jax.lax.fori_loop(
+        0, wk_ref.shape[0], body, jnp.zeros((c, n), jnp.float32)
+    )
+    dx_ref[0] = (dxp_ref[0].astype(jnp.float32) + dxT.T).astype(dx_ref.dtype)
+
+
+def _backward_pallas(x, wqkv, wo, g, heads, dim, scale):
+    """Fused three-pass backward: recompute contexts, q-path, then k/v-path."""
+    b, f, hh, ww, c = x.shape
+    n = hh * ww
+    frames = b * f
+    xt = x.reshape(frames, n, c)
+    gt = g.reshape(frames, n, c)
+    wq, wk, wv, wo3, group, n_groups = _group_views(wqkv, wo, heads, dim, x.dtype)
+    gd = group * dim
+
+    ctx = _ctx_pallas(xt, wk, wv, group, dim)
+
+    nc = _token_chunk(n)
+    const2 = lambda i, j: (0, 0, 0)  # noqa: E731 — grid-invariant weight grads
+    dxq, dctx, dwq, dwo3 = pl.pallas_call(
+        functools.partial(_bwd_q_kernel, group=group, dim=dim, scale=scale),
+        grid=(frames, n // nc),
+        in_specs=[
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((frames, n, c), x.dtype),
+            jax.ShapeDtypeStruct((frames, n_groups, gd, gd), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, c, gd), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(wq, wo3, ctx, xt, gt)
+
+    const1 = lambda i: (0, 0, 0)  # noqa: E731
+    dx, dwk, dwv = pl.pallas_call(
+        functools.partial(_bwd_kv_kernel, group=group, dim=dim),
+        grid=(frames,),
+        in_specs=[
+            pl.BlockSpec((n_groups, c, gd), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), const1, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((frames, n, c), x.dtype),
+            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(wk, wv, xt, dctx, dxq)
+
+    # Group-major gradients back to the packed public layouts (dwk/dwv come
+    # out of the kernel transposed, (n_groups, gd, c)).
+    hd = heads * dim
+    def _unpack(dwx):  # (n_groups, c, gd) -> (c, hd)
+        return jnp.transpose(dwx, (1, 0, 2)).reshape(c, hd)
+
+    def _unpack_t(dwxT):  # (n_groups, gd, c) -> (c, hd)
+        return jnp.transpose(dwxT, (2, 0, 1)).reshape(c, hd)
+
+    dwqkv = jnp.concatenate([_unpack(dwq), _unpack_t(dwk), _unpack_t(dwv)], axis=-1)
+    dwo = dwo3.reshape(hd, c)
+    return (
+        dx.reshape(b, f, hh, ww, c),
+        dwqkv.astype(wqkv.dtype),
+        dwo.astype(wo.dtype),
+    )
+
+
 def _fwd(x, wqkv, wo, heads, dim, scale):
     return _forward(x, wqkv, wo, heads, dim, scale), (x, wqkv, wo)
 
 
 def _bwd(heads, dim, scale, residuals, g):
+    """Fused Pallas backward on TPU; XLA-composite VJP elsewhere."""
     x, wqkv, wo = residuals
+    if _two_pass_supported(x):
+        return _backward_pallas(x, wqkv, wo, g, heads, dim, scale)
     _, vjp = jax.vjp(lambda *a: _composite_xla(*a, heads, dim, scale), x, wqkv, wo)
     return vjp(g)
 
