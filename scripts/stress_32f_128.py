@@ -1,9 +1,12 @@
 """BASELINE stress config: 32-frame 128x128 Unet3D forward + backward.
 
 Stresses temporal-attention memory (the (b*hw, heads, f, f) blowup the
-fused kernels avoid) on real hardware:
+fused kernels avoid) on real hardware, composite vs fused Pallas
+attention (both directions — the kernels have fused backwards):
 
     /opt/venv/bin/python scripts/stress_32f_128.py
+
+Measured 2026-08-16 (one v5e chip): composite 1705 ms, fused 315 ms.
 """
 
 import sys
@@ -19,19 +22,16 @@ from video_diffusion_nnx_tpu.diffusion import GaussianDiffusion
 from video_diffusion_nnx_tpu.models import Unet3D
 
 
-def main():
-    print("devices:", jax.devices(), file=sys.stderr)
+def measure(tag, fused):
     b, c, f, s = 1, 1, 32, 128
-    # Training uses the composite attention path: the fused kernel's
-    # custom-VJP backward (XLA recompute of the whole block) overwhelms the
-    # compile pipeline at this scale. Fused attention is a sampling-path
-    # optimization (fwd-only: 204 ms -> 82 ms at this shape).
     unet = Unet3D(
         dim=32,
         rngs=nnx.Rngs(0),
         dim_mults=(1, 2, 4, 8),
         channels=c,
         compute_dtype="bfloat16",
+        use_fused_attention=fused,
+        use_fused_spatial_attention=fused,
     )
     diffusion = GaussianDiffusion(
         unet, image_size=s, num_frames=f, channels=c, timesteps=1000, loss_type="l2"
@@ -50,13 +50,19 @@ def main():
 
     t0 = time.perf_counter()
     loss, grads = loss_and_grads(state, x, key)
-    print(f"compile+step: {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}", file=sys.stderr)
+    print(f"[{tag}] compile+step: {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}", file=sys.stderr)
 
     t0 = time.perf_counter()
     loss, grads = loss_and_grads(state, x, key)
     gsum = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads)[:3])
     dt = time.perf_counter() - t0
-    print(f"train fwd+bwd @ 32f 128x128 batch {b}: {dt*1000:.1f} ms (loss {float(loss):.4f}, grad-probe {gsum:.3e})")
+    print(f"[{tag}] train fwd+bwd @ 32f 128x128 batch 1: {dt*1000:.1f} ms (loss {float(loss):.4f}, grad-probe {gsum:.3e})")
+
+
+def main():
+    print("devices:", jax.devices(), file=sys.stderr)
+    measure("composite", fused=False)
+    measure("fused", fused=True)
 
 
 if __name__ == "__main__":
