@@ -102,10 +102,13 @@ def main() -> None:
 
     config = load_config(args.config)
     model = build_model(config)
-    model, _ = load_checkpoint(
-        model, args.step, str(Path(args.checkpoint_path).resolve()),
-        load_ema_params=args.load_ema_params,
-    )
+    try:
+        model, _ = load_checkpoint(
+            model, args.step, str(Path(args.checkpoint_path).resolve()),
+            load_ema_params=args.load_ema_params,
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(f"error: {e}") from None
     log.info(
         "restored step %d from %s (ema=%s)",
         args.step, args.checkpoint_path, args.load_ema_params,

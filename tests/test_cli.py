@@ -172,6 +172,59 @@ class TestTrainSampleRoundtrip:
         sample_cli.main()
         assert (out_dir / "sample_0.gif").exists()
 
+    def test_sample_cli_missing_step_exits_cleanly(self, tiny_setup, monkeypatch):
+        """A nonexistent checkpoint step is a clean SystemExit naming the
+        available steps, not an Orbax traceback."""
+        root, cfg_path = tiny_setup
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "sample.py",
+                "--config", str(cfg_path),
+                "--checkpoint-path", str(root / "results" / "checkpoints"),
+                "--step", "99",
+                "--output-path", str(root / "never"),
+            ],
+        )
+        with pytest.raises(SystemExit) as exc:
+            sample_cli.main()
+        assert "available steps" in str(exc.value)
+        assert not (root / "never").exists()
+
+    def test_interpolate_cli(self, tiny_setup, monkeypatch):
+        """scripts/interpolate.py blends two dataset clips through the
+        diffusion — the capability the reference crashes on
+        (reference gaussian_diffusion.py:360-398)."""
+        import importlib
+
+        root, cfg_path = tiny_setup
+        sys.path.insert(0, str(REPO_ROOT / "scripts"))
+        try:
+            interp_cli = importlib.import_module("interpolate")
+        finally:
+            sys.path.pop(0)
+        out_dir = root / "interp"
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "interpolate.py",
+                "--config", str(cfg_path),
+                "--checkpoint-path", str(root / "results" / "checkpoints"),
+                "--step", "2",
+                "--dataset", str(root / "seq.npy"),
+                "--index-a", "0",
+                "--index-b", "1",
+                "--lam", "0.5",
+                "--t", "3",
+                "--output-path", str(out_dir),
+            ],
+        )
+        interp_cli.main()
+        for name in ("endpoint_a", "endpoint_b", "interp_0.5"):
+            assert (out_dir / f"{name}.gif").exists()
+
     def test_resume_cli(self, tiny_setup, monkeypatch):
         root, cfg_path = tiny_setup
         monkeypatch.setattr(

@@ -75,8 +75,12 @@ def load_checkpoint(
     if ckpt_manager is None:
         ckpt_manager = ocp.CheckpointManager(path, options=ocp.CheckpointManagerOptions())
 
-    if step not in ckpt_manager.all_steps():
-        raise FileNotFoundError(f"no checkpoint for step {step} under {path}")
+    steps = ckpt_manager.all_steps()
+    if step not in steps:
+        available = ", ".join(map(str, sorted(steps))) if steps else "none"
+        raise FileNotFoundError(
+            f"no checkpoint for step {step} under {path} (available steps: {available})"
+        )
 
     graphdef, abstract_state = nnx.split(model)
     abstract = {"model": abstract_state, "ema_params": abstract_state}
