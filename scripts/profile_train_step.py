@@ -79,9 +79,9 @@ def bench_spatial(dtype):
     print(f"[spatial L0 {dtype}] f+b comp    {timeit(loss_of(comp), x):7.2f} ms")
 
 
-def bench_train_step(fused_temporal, fused_spatial, tag):
+def bench_train_step(fused_temporal, fused_spatial, tag, dim=32, batch=4):
     unet = Unet3D(
-        dim=32,
+        dim=dim,
         rngs=nnx.Rngs(0),
         dim_mults=(1, 2, 4, 8),
         channels=1,
@@ -108,7 +108,7 @@ def bench_train_step(fused_temporal, fused_spatial, tag):
         ema = jax.tree_util.tree_map(lambda e, p: 0.9999 * e + 0.0001 * p, ema, params)
         return params, opt, ema, loss
 
-    x = jnp.zeros((4, 1, 10, 64, 64), jnp.float32)
+    x = jnp.zeros((batch, 1, 10, 64, 64), jnp.float32)
     key = jax.random.PRNGKey(0)
     params, opt, ema, loss = step(params, opt, ema, x, key)
     float(loss)
@@ -118,7 +118,7 @@ def bench_train_step(fused_temporal, fused_spatial, tag):
         params, opt, ema, loss = step(params, opt, ema, x, key)
     float(loss)
     dt = (time.perf_counter() - t0) / n
-    print(f"[train b4 bf16 {tag}] {dt * 1000:.1f} ms/step")
+    print(f"[train dim{dim} b{batch} bf16 {tag}] {dt * 1000:.1f} ms/step")
     return dt
 
 
@@ -131,6 +131,11 @@ def main():
         bench_train_step(False, False, "composite")
         bench_train_step(True, False, "fused-temporal")
         bench_train_step(True, True, "fused-both")
+    if "--v2_3" in sys.argv:
+        # Production-scale recipe (config_v2_3: dim 128) — the MXU-bound
+        # regime where MFU, not dispatch, decides throughput.
+        bench_train_step(False, False, "composite", dim=128)
+        bench_train_step(True, True, "fused-both", dim=128)
 
 
 if __name__ == "__main__":

@@ -125,6 +125,23 @@ class TestFusedTemporalAttention:
         )(x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(x + mha(x)), atol=2e-5)
 
+    def test_long_clip_frames(self):
+        """36 frames (> the old 32-frame cap, non-8-multiple -> padded+masked)
+        run through the kernel itself, forward and backward."""
+        mha = MultiheadAttention(in_features=16, dim=8, num_heads=4, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 36, 16))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x + mha(x)), atol=2e-5)
+
+        gx = jax.grad(
+            lambda x: jnp.sum(ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8) ** 2)
+        )(x)
+        gx_ref = jax.grad(
+            lambda x: jnp.sum(ta._composite_xla(x, wqkv, bqkv, wo, bo, 4, 8) ** 2)
+        )(x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
+
     def test_frames_over_limit_fall_back(self):
         mha = MultiheadAttention(in_features=16, dim=8, num_heads=4, rngs=nnx.Rngs(0))
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, ta.MAX_FRAMES + 1, 16))

@@ -51,9 +51,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Max frames supported per program invocation (reference max_distance=32 and
-# the rel-pos bias docstring note that more frames are unrealistic).
-MAX_FRAMES = 32
+# Max frames supported per program invocation. The envelope math shrinks the
+# token tile as f grows (at f=64 bf16: 32 tokens/tile), so the cap is about
+# keeping the per-tile (BT, F, F) attention panel reasonable, not a hard VMEM
+# wall; validated fwd+bwd vs composite on hardware at f=40 and f=64. Beyond
+# this, the composite fallback (or the sequence-parallel path) takes over.
+MAX_FRAMES = 64
 
 # Test hook: run the Pallas kernel in interpreter mode on CPU so the kernel
 # math itself is exercised without TPU hardware.
