@@ -24,7 +24,7 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
     logging.info("Using master RNG seed: %s", master_seed)
 
     unet_cfg = config["unet"]
-    logging.info("Initializing Unet3D model...")
+    logging.info("Building Unet3D denoiser")
     rngs = nnx.Rngs(unet_cfg["rngs_seed"])
     unet_model = Unet3D(
         dim=unet_cfg["dim"],
@@ -40,7 +40,7 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
     )
 
     diff_cfg = config["diffusion"]
-    logging.info("Initializing GaussianDiffusion model...")
+    logging.info("Building GaussianDiffusion process")
     diffusion_model = GaussianDiffusion(
         denoise_fn=unet_model,
         image_size=diff_cfg["image_size"],
@@ -51,7 +51,7 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
     )
 
     trainer_cfg = config["trainer"]
-    logging.info("Initializing Trainer...")
+    logging.info("Building Trainer")
     trainer = Trainer(
         diffusion_model=diffusion_model,
         folder=trainer_cfg["folder"],

@@ -606,10 +606,33 @@ def _fwd(x, wqkv, wo, heads, dim, scale):
     return _forward(x, wqkv, wo, heads, dim, scale), (x, wqkv, wo)
 
 
+def _bwd_fits(x, heads: int, dim: int) -> bool:
+    """VMEM estimate for the k/v backward kernel (the tightest of the three
+    backward passes: whole-frame (gd, n) f32 panels).
+
+    Per-token live bytes: six f32 ``(gd, n)`` panels (kT/sT/vT/dsT/dvT/dkT),
+    their bf16 casts, three double-buffered ``(n, c)`` blocks (x, dx_partial,
+    dx — lanes pad to 128), the f32 ``(c, n)`` dxT accumulator and the bf16
+    xT view. Mosaic's allocator reuses ~30% of that in practice, so the
+    estimate is scaled by 0.7 against a 15.5 MB budget — calibrated on this
+    toolchain: (n=4096, c=32, gd=128) measures ~14 MB (fits), (n=4096,
+    c=128) measures 16.76 MB (OOMs the 16 MB stack).
+    """
+    _, _, hh, ww, c = x.shape
+    n = hh * ww
+    it = 2 if x.dtype in (jnp.bfloat16, jnp.float16) else 4
+    group = max(1, min(heads, 128 // dim))
+    while heads % group != 0:
+        group -= 1
+    gd = group * dim
+    per_token = 6 * gd * 4 + 2 * gd * it + 3 * 2 * _pad128(c) * it + c * 4 + c * it
+    return 0.7 * n * per_token <= 15.5 * 1024 * 1024
+
+
 def _bwd(heads, dim, scale, residuals, g):
     """Fused Pallas backward on TPU; XLA-composite VJP elsewhere."""
     x, wqkv, wo = residuals
-    if _two_pass_supported(x):
+    if _two_pass_supported(x) and _bwd_fits(x, heads, dim):
         return _backward_pallas(x, wqkv, wo, g, heads, dim, scale)
     _, vjp = jax.vjp(lambda *a: _composite_xla(*a, heads, dim, scale), x, wqkv, wo)
     return vjp(g)

@@ -266,14 +266,19 @@ def _choose_tile(tokens: int, f: int, c: int, envelope: int, dtype) -> int:
     """Largest power-of-two token tile whose *padded* footprint fits.
 
     The per-head ``(bt, f, dim)`` panels pad f up to a multiple of 8
-    sublanes, so the VMEM cost scales with the padded frame count; f32
-    buffers cost 2x the bf16 ones and wide levels (c > 64) add
-    c-proportional x/y/out panels, so the envelope halves for each.
+    sublanes, so the VMEM cost scales with the padded frame count. Beyond
+    c = 64 the c-proportional buffers dominate (x/g/out tiles plus the
+    backward's f32 ``(bt*f, c)`` accumulators), so the padded-token
+    envelope scales as ~1/c: tokens*c <= 64*2048 = 128Ki. Calibrated on
+    this toolchain — c=128 at 1024 padded tokens fits, while c=1024 at
+    1024 tokens overflows the 16 MB stack by 6.8 MB (the deepest
+    dim-128-model level). f32 buffers cost 2x bf16, halving the envelope
+    again.
     """
     f_pad = max(8, -(-f // 8) * 8)
-    if jnp.dtype(dtype).itemsize > 2:
-        envelope //= 2
     if c > 64:
+        envelope = min(envelope, (64 * 2048) // c)
+    if jnp.dtype(dtype).itemsize > 2:
         envelope //= 2
     bt = max(1, min(512, envelope // f_pad))
     bt = 1 << (bt.bit_length() - 1)  # floor to power of two
