@@ -113,6 +113,26 @@ class TestTrainLoop:
         # step>0 and step%every==0, plus final; trainer.py:593,615).
         assert steps == [2, 4, 5]
 
+    def test_async_checkpointing_durable(self, npy_path, tmp_path):
+        """async_checkpointing=True: periodic saves are enqueued without
+        blocking the loop; the final blocking save makes every checkpoint
+        durable (and restorable) by the time train() returns."""
+        tr = make_trainer(
+            npy_path, tmp_path, train_num_steps=5, checkpoint_every_steps=2,
+            async_checkpointing=True,
+        )
+        tr.train()
+        ckpt_dir = tr.checkpoint_dir_path
+        steps = sorted(int(p.name) for p in ckpt_dir.iterdir() if p.name.isdigit())
+        assert steps == [2, 4, 5]
+        from video_diffusion_nnx_tpu.utils import load_checkpoint
+
+        model, _ = load_checkpoint(make_diffusion(), 4, str(ckpt_dir))
+        restored = jax.device_get(nnx.split(model)[1])
+        trained = jax.device_get(tr.state.params)
+        # Step-4 params differ from the final step-5 params but share the tree.
+        assert jax.tree_util.tree_structure(restored) == jax.tree_util.tree_structure(trained)
+
     def test_ema_updates(self, npy_path, tmp_path):
         tr = make_trainer(npy_path, tmp_path, step_start_ema=0, update_ema_every=1, ema_decay=0.5)
         params_before = jax.device_get(tr.state.params)

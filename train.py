@@ -89,6 +89,7 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
         save_optimizer_state=trainer_cfg["save_optimizer_state"],
         log_every_steps=trainer_cfg["log_every_steps"],
         sequence_parallel_size=trainer_cfg["sequence_parallel_size"],
+        async_checkpointing=trainer_cfg["async_checkpointing"],
     )
     return unet_model, diffusion_model, trainer
 

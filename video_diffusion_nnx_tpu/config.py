@@ -50,6 +50,7 @@ _TRAINER_DEFAULTS: dict[str, Any] = {
     "save_optimizer_state": False,
     "log_every_steps": 1,
     "sequence_parallel_size": 1,
+    "async_checkpointing": False,
 }
 
 _UNET_DEFAULTS: dict[str, Any] = {

@@ -120,6 +120,7 @@ class Trainer:
         save_optimizer_state: bool = False,
         log_every_steps: int = 1,
         sequence_parallel_size: int = 1,
+        async_checkpointing: bool = False,
     ):
         self.key = jax.random.PRNGKey(rng_seed)
         self.profile_flush_step = profile_flush_step
@@ -311,6 +312,7 @@ class Trainer:
         )
         self.checkpoint_dir_path.mkdir(exist_ok=True, parents=True)
         self.checkpoint_every_steps = checkpoint_every_steps
+        self.async_checkpointing = async_checkpointing
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
         self.ckpt_manager = CheckpointManager(self.checkpoint_dir_path, options=options)
         # Opt-in full-state resume (the reference re-initializes the
@@ -581,7 +583,7 @@ class Trainer:
         self.key = key
         logger.info("Training completed!")
         logger.info("Saving final checkpoint...")
-        self._save_checkpoint()
+        self._save_checkpoint(wait=True)
 
         self.writer.close()
         logger.info("TensorBoard logs saved to: %s", self.tensorboard_dir)
@@ -594,14 +596,23 @@ class Trainer:
         self.writer.add_scalar("lr/train", float(self.lr_schedule(step)), step)
         self.writer.add_scalar("grad_norm/train", float(jax.device_get(grad_norm)), step)
 
-    def _save_checkpoint(self) -> None:
+    def _save_checkpoint(self, wait: bool | None = None) -> None:
+        """Periodic save. With ``async_checkpointing`` the Orbax finalize runs
+        in its background thread and the train loop continues immediately;
+        the final save (``wait=True``) blocks so every enqueued checkpoint is
+        durable when ``train()`` returns."""
+        if wait is None:
+            wait = not self.async_checkpointing
         try:
             state_to_save = jax.device_get(self.state)
             save_checkpoint(
-                self.ckpt_manager, state_to_save.params, state_to_save.ema_params, self.step
+                self.ckpt_manager, state_to_save.params, state_to_save.ema_params,
+                self.step, wait=wait,
             )
             if self._opt_ckpt_manager is not None:
-                save_opt_state(self._opt_ckpt_manager, state_to_save.opt_state, self.step)
+                save_opt_state(
+                    self._opt_ckpt_manager, state_to_save.opt_state, self.step, wait=wait
+                )
         except Exception as e:
             logger.error("Error saving checkpoint at step %d: %s", self.step, e)
 

@@ -28,19 +28,26 @@ def save_checkpoint(
     model_params: PyTree,
     ema_params: PyTree,
     step: int,
+    wait: bool = True,
 ) -> None:
     """Save ``{'model': model_params, 'ema_params': ema_params}`` at ``step``.
 
     Parity: reference utils.py:432-458 (StandardSave, ``force=True``, blocking
-    wait so the step directory is complete when we return).
+    wait so the step directory is complete when we return). ``wait=False``
+    lets Orbax finalize in its background thread so the train loop is not
+    blocked on disk I/O; callers must issue one final blocking save (or
+    ``ckpt_manager.wait_until_finished()``) before relying on the artifact.
     """
     save_items = {"model": model_params, "ema_params": ema_params}
     ckpt_manager.save(step, args=ocp_args.StandardSave(save_items), force=True)
-    ckpt_manager.wait_until_finished()
-    logger.info("Checkpoint saved at step %d", step)
+    if wait:
+        ckpt_manager.wait_until_finished()
+    logger.info("Checkpoint save %s at step %d", "finished" if wait else "enqueued", step)
 
 
-def save_opt_state(ckpt_manager: CheckpointManager, opt_state: PyTree, step: int) -> None:
+def save_opt_state(
+    ckpt_manager: CheckpointManager, opt_state: PyTree, step: int, wait: bool = True
+) -> None:
     """Save optimizer state under its own manager (opt-in full-state resume).
 
     Kept out of the main checkpoint so the reference-compatible
@@ -48,8 +55,9 @@ def save_opt_state(ckpt_manager: CheckpointManager, opt_state: PyTree, step: int
     interchangeable; the optimizer tree lives in a sibling directory.
     """
     ckpt_manager.save(step, args=ocp_args.StandardSave(opt_state), force=True)
-    ckpt_manager.wait_until_finished()
-    logger.info("Optimizer state saved at step %d", step)
+    if wait:
+        ckpt_manager.wait_until_finished()
+    logger.info("Optimizer state save %s at step %d", "finished" if wait else "enqueued", step)
 
 
 def load_opt_state(ckpt_manager: CheckpointManager, abstract_opt_state: PyTree, step: int):
