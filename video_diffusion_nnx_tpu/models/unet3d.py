@@ -294,10 +294,12 @@ class Unet3D(nnx.Module):
         Parity: reference unet3d.py:254-260 computes this as TWO sequential
         full forward passes. Here the conditioned and null passes are batched
         into ONE forward at ``2b`` (per-sample math is independent, so the
-        result is identical — tested bitwise) — halving conditioned sampling
-        latency on TPU, where the denoiser underutilizes the chip at small
-        batch. Without conditioning (or at ``cond_scale == 1``) this is a
-        single forward pass.
+        result is identical — tested bitwise). This halves dispatches and
+        avoids a second program; the FLOPs still double, so on a saturated
+        chip CFG sampling costs ~2x unconditional (measured 22.8 s vs 11.0 s
+        at the 250-step b8 bench shape) — the latency win appears at small
+        batches where the chip is underutilized. Without conditioning (or at
+        ``cond_scale == 1``) this is a single forward pass.
         """
         if cond_scale == 1 or not self.has_cond:
             return self(*args, null_cond_prob=0.0, **kwargs)
