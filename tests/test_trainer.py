@@ -113,6 +113,23 @@ class TestTrainLoop:
         # step>0 and step%every==0, plus final; trainer.py:593,615).
         assert steps == [2, 4, 5]
 
+    def test_in_training_sampling(self, npy_path, tmp_path):
+        """save_and_sample_every writes real EMA sample GIFs mid-run (the
+        reference accepted the knob but its sample_batch was a zeros stub,
+        reference trainer.py:102,492-506)."""
+        tr = make_trainer(
+            npy_path, tmp_path, train_num_steps=3, checkpoint_every_steps=100,
+            save_and_sample_every=2, num_sample_rows=1,
+        )
+        tr.train()
+        out_dir = tr.results_folder / "samples" / "step_2"
+        assert (out_dir / "sample_0.gif").exists()
+        from PIL import Image
+
+        img = Image.open(out_dir / "sample_0.gif")
+        assert img.size == (SIZE, SIZE)
+        img.seek(FRAMES - 1)
+
     def test_async_checkpointing_durable(self, npy_path, tmp_path):
         """async_checkpointing=True: periodic saves are enqueued without
         blocking the loop; the final blocking save makes every checkpoint

@@ -569,6 +569,18 @@ class Trainer:
                 logger.info("Step: %d | Saving checkpoint...", self.step)
                 self._save_checkpoint()
 
+            # In-training sample artifacts. The reference accepted this knob
+            # but its sample_batch was a warning stub returning zeros
+            # (reference trainer.py:102,492-506) — here it writes real EMA
+            # sample GIFs under results/samples/step_{N}/.
+            if (
+                self.save_and_sample_every
+                and 0 < self.save_and_sample_every <= self.train_num_steps
+                and self.step > 0
+                and self.step % self.save_and_sample_every == 0
+            ):
+                self._sample_and_save()
+
             self.step += 1
 
             if tracing and self.step == self.profile_flush_step:
@@ -619,6 +631,28 @@ class Trainer:
     # ------------------------------------------------------------------ #
     # Sampling from the trained model                                      #
     # ------------------------------------------------------------------ #
+
+    def _sample_and_save(self) -> None:
+        """Write ``num_sample_rows`` EMA sample GIFs to
+        ``results/samples/step_{N}/sample_{i}.gif`` (min-max scaled like
+        sample.py)."""
+        import numpy as np
+        from einops import rearrange
+
+        from video_diffusion_nnx_tpu.utils import video_array_to_gif
+
+        try:
+            videos = self.sample_batch(self.num_sample_rows)
+            out_dir = self.results_folder / "samples" / f"step_{self.step}"
+            out_dir.mkdir(parents=True, exist_ok=True)
+            arr = rearrange(np.asarray(videos), "b c f h w -> b f h w c")
+            lo, hi = arr.min(), arr.max()
+            scaled = ((arr - lo) / max(hi - lo, 1e-12) * 255).astype(np.uint8)
+            for i, clip in enumerate(scaled):
+                video_array_to_gif(clip, out_dir / f"sample_{i}.gif")
+            logger.info("Step: %d | Wrote %d sample GIFs to %s", self.step, len(scaled), out_dir)
+        except Exception as e:
+            logger.error("Error sampling at step %d: %s", self.step, e)
 
     def sample_batch(self, batch_size: int, use_ema: bool = True, key: jax.Array | None = None):
         """Sample videos from the current (EMA by default) parameters.
