@@ -304,6 +304,52 @@ class TestFusedSpatialBackward:
         )(x)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
 
+    def test_chunked_backward_matches_composite(self):
+        """The chunked (stats-based) k/v backward — the path for frames too
+        wide for whole-frame VMEM — against the composite VJP, with small
+        chunks so the rho accumulation crosses several grid programs."""
+        sla = SpatialLinearAttention(8, heads=2, D=4, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 8, 8, 8))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        g = jax.random.normal(jax.random.PRNGKey(5), x.shape)
+        orig = sla_ops._token_chunk
+        try:
+            sla_ops._token_chunk = lambda n: max(16, orig(n) // 4)
+            got = sla_ops._backward_pallas_chunked(x, wqkv, wo, g, 2, 4, 1.0)
+        finally:
+            sla_ops._token_chunk = orig
+        _, vjp = jax.vjp(
+            lambda *a: sla_ops._composite_xla(*a, 2, 4, 1.0), x, wqkv, wo
+        )
+        want = vjp(g)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_custom_vjp_routes_to_chunked_when_gate_rejects(self, monkeypatch):
+        """_bwd_fits=False routes grad through the chunked Pallas backward."""
+        called = {}
+        orig = sla_ops._backward_pallas_chunked
+
+        def spy(*a, **k):
+            called["chunked"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(sla_ops, "_backward_pallas_chunked", spy)
+        monkeypatch.setattr(sla_ops, "_bwd_fits", lambda *a: False)
+        sla = SpatialLinearAttention(8, heads=2, D=4, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 8))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        gx = jax.grad(
+            lambda x: jnp.sum(
+                sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, 2, 4, 1.0) ** 2
+            )
+        )(x)
+        assert called.get("chunked")
+        gx_ref = jax.grad(
+            lambda x: jnp.sum(sla_ops._composite_xla(x, wqkv, wo, 2, 4, 1.0) ** 2)
+        )(x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
+
     def test_bf16_backward(self):
         sla = SpatialLinearAttention(16, heads=4, D=8, rngs=nnx.Rngs(0))
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 16)).astype(jnp.bfloat16)

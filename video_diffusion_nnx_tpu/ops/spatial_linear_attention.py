@@ -219,6 +219,68 @@ def _ctx_pallas(xt, wk, wv, group, dim):
     )(wk, wv, xt)
 
 
+def _ctx_stats_kernel(wk_ref, wv_ref, x_ref, ctx_ref, m_ref, z_ref, *, group, dim):
+    """Like :func:`_context_kernel`, but also emits the k-softmax row max and
+    denominator per (group, head-lane) so later passes can recompute
+    softmax probabilities chunk-by-chunk without the whole frame in VMEM.
+    Stats are stored as ``(gd, 1)`` panels (lane dim 1) — reshaping them to
+    lane-major would split the lane dim, which Mosaic rejects."""
+    x = x_ref[0]  # (n, c)
+    gd = group * dim
+    mask = _block_diag_mask(gd, dim)
+    xT = x.T  # (c, n)
+
+    def body(g, _):
+        kT_raw = jax.lax.dot_general(
+            wk_ref[g], xT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, n)
+        m = jnp.max(kT_raw, axis=-1, keepdims=True)  # (gd, 1)
+        ek = jnp.exp(kT_raw - m)
+        z = jnp.sum(ek, axis=-1, keepdims=True)  # (gd, 1)
+        sT = ek / z
+        v = jnp.dot(x, wv_ref[g], preferred_element_type=jnp.float32)
+        ctx = jax.lax.dot_general(
+            sT.astype(x.dtype), v.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ctx_ref[0, g] = ctx * mask
+        m_ref[0, g] = m
+        z_ref[0, g] = z
+        return 0
+
+    jax.lax.fori_loop(0, wk_ref.shape[0], body, 0)
+
+
+def _ctx_stats_pallas(xt, wk, wv, group, dim):
+    """Contexts plus k-softmax statistics, for the chunked backward."""
+    frames, n, c = xt.shape
+    n_groups, _, gd = wk.shape
+    const = lambda i: (0, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_ctx_stats_kernel, group=group, dim=dim),
+        grid=(frames,),
+        in_specs=[
+            pl.BlockSpec((n_groups, c, gd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((frames, n_groups, gd, gd), jnp.float32),
+            jax.ShapeDtypeStruct((frames, n_groups, gd, 1), jnp.float32),
+            jax.ShapeDtypeStruct((frames, n_groups, gd, 1), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(wk, wv, xt)
+
+
 def _token_chunk(n: int) -> int:
     nc = min(n, 2048)
     while n % nc != 0:
@@ -521,6 +583,223 @@ def _bwd_kv_kernel(
     dx_ref[0] = (dxp_ref[0].astype(jnp.float32) + dxT.T).astype(dx_ref.dtype)
 
 
+def _bwd_kv_chunk1_kernel(
+    wk_ref, wv_ref, m_ref, z_ref, dctx_ref, x_ref, dxp_ref,
+    dxpart_ref, rho_ref, dwv_ref,
+    *, group, dim,
+):
+    """Chunked k/v backward, phase 1: the v path plus the softmax-VJP
+    reduction ``rho = sum_n dsT * sT``.
+
+    The whole-frame kernel (:func:`_bwd_kv_kernel`) needs every ``(gd, n)``
+    panel in VMEM at once, which overflows the 16 MB stack at wide channels
+    (c=128 at 64x64 tokens). Here softmax probabilities are recomputed
+    chunk-by-chunk from the saved per-frame max/denominator, so VMEM scales
+    with the chunk, not the frame. ``rho`` accumulates across the
+    (sequential) chunk axis; ``dwv`` accumulates across the whole grid.
+    """
+    x = x_ref[0]  # (nc, c)
+    nc, c = x.shape
+    xT = x.T
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _init_w():
+        dwv_ref[...] = jnp.zeros(dwv_ref.shape, dwv_ref.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init_rho():
+        rho_ref[...] = jnp.zeros(rho_ref.shape, rho_ref.dtype)
+
+    def body(gi, dxT):
+        kT = jax.lax.dot_general(
+            wk_ref[gi], xT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, nc)
+        sT = jnp.exp(kT - m_ref[0, gi]) / z_ref[0, gi]
+        sT_c = sT.astype(x.dtype)
+        vT = jax.lax.dot_general(
+            wv_ref[gi], xT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, nc)
+        dctx_c = dctx_ref[0, gi].astype(x.dtype)
+        dsT = jax.lax.dot_general(
+            dctx_c, vT.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, nc)
+        rho_ref[0, gi] = rho_ref[0, gi] + jnp.sum(dsT * sT, axis=-1, keepdims=True)
+        dvT = jax.lax.dot_general(
+            dctx_c, sT_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gd, nc)
+        dvT_c = dvT.astype(x.dtype)
+        dwv_ref[gi] = dwv_ref[gi] + jnp.dot(dvT_c, x, preferred_element_type=jnp.float32)
+        return dxT + jnp.dot(wv_ref[gi], dvT_c, preferred_element_type=jnp.float32)
+
+    dxT = jax.lax.fori_loop(0, wk_ref.shape[0], body, jnp.zeros((c, nc), jnp.float32))
+    dxpart_ref[0] = (dxp_ref[0].astype(jnp.float32) + dxT.T).astype(dxpart_ref.dtype)
+
+
+def _bwd_kv_chunk2_kernel(
+    wk_ref, wv_ref, m_ref, z_ref, dctx_ref, rho_ref, x_ref, dxp_ref,
+    dx_ref, dwk_ref,
+    *, group, dim,
+):
+    """Chunked k/v backward, phase 2: finish the k path with the complete
+    ``rho`` (dkT = sT * (dsT - rho)) and emit dx plus dwk."""
+    x = x_ref[0]  # (nc, c)
+    nc, c = x.shape
+    xT = x.T
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _init_w():
+        dwk_ref[...] = jnp.zeros(dwk_ref.shape, dwk_ref.dtype)
+
+    def body(gi, dxT):
+        kT = jax.lax.dot_general(
+            wk_ref[gi], xT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sT = jnp.exp(kT - m_ref[0, gi]) / z_ref[0, gi]
+        vT = jax.lax.dot_general(
+            wv_ref[gi], xT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dctx_c = dctx_ref[0, gi].astype(x.dtype)
+        dsT = jax.lax.dot_general(
+            dctx_c, vT.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dkT = sT * (dsT - rho_ref[0, gi])
+        dkT_c = dkT.astype(x.dtype)
+        dwk_ref[gi] = dwk_ref[gi] + jnp.dot(dkT_c, x, preferred_element_type=jnp.float32)
+        return dxT + jnp.dot(wk_ref[gi], dkT_c, preferred_element_type=jnp.float32)
+
+    dxT = jax.lax.fori_loop(0, wk_ref.shape[0], body, jnp.zeros((c, nc), jnp.float32))
+    dx_ref[0] = (dxp_ref[0].astype(jnp.float32) + dxT.T).astype(dx_ref.dtype)
+
+
+def _backward_pallas_chunked(x, wqkv, wo, g, heads, dim, scale):
+    """Fused backward for frames too wide for the whole-frame k/v kernel.
+
+    Four passes, all chunk-bounded in VMEM: contexts + k-softmax stats
+    (per frame), the token-chunked q path (shared with the fitting case),
+    then the k/v path split into a rho-accumulation phase and a
+    finish phase (the token-axis softmax VJP needs the full-frame
+    reduction before any chunk's dk can be finished).
+    """
+    b, f, hh, ww, c = x.shape
+    n = hh * ww
+    frames = b * f
+    xt = x.reshape(frames, n, c)
+    gt = g.reshape(frames, n, c)
+    wq, wk, wv, wo3, group, n_groups = _group_views(wqkv, wo, heads, dim, x.dtype)
+    gd = group * dim
+
+    ctx, m, z = _ctx_stats_pallas(xt, wk, wv, group, dim)
+
+    nc = _token_chunk(n)
+    const2 = lambda i, j: (0, 0, 0)  # noqa: E731
+    dxq, dctx, dwq, dwo3 = pl.pallas_call(
+        functools.partial(_bwd_q_kernel, group=group, dim=dim, scale=scale),
+        grid=(frames, n // nc),
+        in_specs=[
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((frames, n, c), x.dtype),
+            jax.ShapeDtypeStruct((frames, n_groups, gd, gd), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, c, gd), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(wq, wo3, ctx, xt, gt)
+
+    nck = _token_chunk(min(n, 1024))
+    stat_spec = pl.BlockSpec((1, n_groups, gd, 1), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    chunk_spec = pl.BlockSpec((1, nck, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    dxpart, rho, dwv = pl.pallas_call(
+        functools.partial(_bwd_kv_chunk1_kernel, group=group, dim=dim),
+        grid=(frames, n // nck),
+        in_specs=[
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            stat_spec,
+            stat_spec,
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            chunk_spec,
+            chunk_spec,
+        ],
+        out_specs=[
+            chunk_spec,
+            stat_spec,
+            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((frames, n, c), x.dtype),
+            jax.ShapeDtypeStruct((frames, n_groups, gd, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(wk, wv, m, z, dctx, xt, dxq)
+
+    dx, dwk = pl.pallas_call(
+        functools.partial(_bwd_kv_chunk2_kernel, group=group, dim=dim),
+        grid=(frames, n // nck),
+        in_specs=[
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            stat_spec,
+            stat_spec,
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            stat_spec,
+            chunk_spec,
+            chunk_spec,
+        ],
+        out_specs=[
+            chunk_spec,
+            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((frames, n, c), x.dtype),
+            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(wk, wv, m, z, dctx, rho, xt, dxpart)
+
+    hd = heads * dim
+
+    def _unpack(dwx):  # (n_groups, c, gd) -> (c, hd)
+        return jnp.transpose(dwx, (1, 0, 2)).reshape(c, hd)
+
+    def _unpack_t(dwxT):  # (n_groups, gd, c) -> (c, hd)
+        return jnp.transpose(dwxT, (2, 0, 1)).reshape(c, hd)
+
+    dwqkv = jnp.concatenate([_unpack(dwq), _unpack_t(dwk), _unpack_t(dwv)], axis=-1)
+    dwo = dwo3.reshape(hd, c)
+    return (
+        dx.reshape(b, f, hh, ww, c),
+        dwqkv.astype(wqkv.dtype),
+        dwo.astype(wo.dtype),
+    )
+
+
 def _backward_pallas(x, wqkv, wo, g, heads, dim, scale):
     """Fused three-pass backward: recompute contexts, q-path, then k/v-path."""
     b, f, hh, ww, c = x.shape
@@ -630,10 +909,17 @@ def _bwd_fits(x, heads: int, dim: int) -> bool:
 
 
 def _bwd(heads, dim, scale, residuals, g):
-    """Fused Pallas backward on TPU; XLA-composite VJP elsewhere."""
+    """Fused Pallas backward on TPU; XLA-composite VJP elsewhere.
+
+    Frames whose whole-frame k/v panels fit the VMEM stack take the
+    three-pass kernel; wider frames (e.g. c=128 at 64x64 tokens) take the
+    chunked variant, which recomputes softmax probabilities per token chunk
+    from saved per-frame statistics."""
     x, wqkv, wo = residuals
-    if _two_pass_supported(x) and _bwd_fits(x, heads, dim):
-        return _backward_pallas(x, wqkv, wo, g, heads, dim, scale)
+    if _two_pass_supported(x):
+        if _bwd_fits(x, heads, dim):
+            return _backward_pallas(x, wqkv, wo, g, heads, dim, scale)
+        return _backward_pallas_chunked(x, wqkv, wo, g, heads, dim, scale)
     _, vjp = jax.vjp(lambda *a: _composite_xla(*a, heads, dim, scale), x, wqkv, wo)
     return vjp(g)
 
