@@ -113,6 +113,14 @@ class TestTrainLoop:
         # step>0 and step%every==0, plus final; trainer.py:593,615).
         assert steps == [2, 4, 5]
 
+    def test_loss_plot_written(self, npy_path, tmp_path):
+        """add_loss_plot=True writes results/loss_plot.png when training
+        finishes (the reference accepted the knob but never used it,
+        reference trainer.py:111,304)."""
+        tr = make_trainer(npy_path, tmp_path, add_loss_plot=True, checkpoint_every_steps=100)
+        tr.train()
+        assert (tr.results_folder / "loss_plot.png").exists()
+
     def test_in_training_sampling(self, npy_path, tmp_path):
         """save_and_sample_every writes real EMA sample GIFs mid-run (the
         reference accepted the knob but its sample_batch was a zeros stub,

@@ -380,7 +380,12 @@ class Trainer:
                 )
                 self.step = 0
 
+        # Reference trainer.py:111,304 accepted this knob but never used it
+        # (its README loss-curve PNG was produced out-of-band). Here it
+        # collects the logged losses and writes results/loss_plot.png when
+        # training finishes.
         self.add_loss_plot = add_loss_plot
+        self._loss_history: list[tuple[int, float]] = []
         # Host<->device loss fetches synchronize the pipeline; on tunneled
         # or high-latency runtimes fetch every N steps instead (default 1 =
         # reference cadence).
@@ -597,6 +602,7 @@ class Trainer:
         logger.info("Saving final checkpoint...")
         self._save_checkpoint(wait=True)
 
+        self._write_loss_plot()
         self.writer.close()
         logger.info("TensorBoard logs saved to: %s", self.tensorboard_dir)
 
@@ -607,6 +613,31 @@ class Trainer:
         self.writer.add_scalar("loss/train", current_loss, step)
         self.writer.add_scalar("lr/train", float(self.lr_schedule(step)), step)
         self.writer.add_scalar("grad_norm/train", float(jax.device_get(grad_norm)), step)
+        if self.add_loss_plot:
+            self._loss_history.append((step, current_loss))
+
+    def _write_loss_plot(self) -> None:
+        if not (self.add_loss_plot and self._loss_history):
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            steps, losses = zip(*self._loss_history)
+            fig, ax = plt.subplots(figsize=(8, 4.5))
+            ax.plot(steps, losses, linewidth=1)
+            ax.set_xlabel("step")
+            ax.set_ylabel("loss")
+            ax.set_title(f"Training loss over {steps[-1] + 1} steps")
+            fig.tight_layout()
+            out = self.results_folder / "loss_plot.png"
+            fig.savefig(out, dpi=120)
+            plt.close(fig)
+            logger.info("Loss plot saved to %s", out)
+        except Exception as e:  # plotting must never fail training
+            logger.error("Error writing loss plot: %s", e)
 
     def _save_checkpoint(self, wait: bool | None = None) -> None:
         """Periodic save. With ``async_checkpointing`` the Orbax finalize runs
