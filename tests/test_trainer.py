@@ -85,6 +85,14 @@ class TestInit:
         with pytest.raises(AssertionError):
             make_trainer(npy_path, tmp_path, train_batch_size=3)
 
+    def test_infeasible_model_shards_clamped(self, npy_path, tmp_path):
+        """num_model_shards that doesn't divide the device count is clamped
+        with a warning (config_v2_3 sets 2 shards; a 1-chip box must still
+        run it)."""
+        tr = make_trainer(npy_path, tmp_path, num_model_shards=3)  # 8 % 3 != 0
+        assert tr.num_model_shards == 1
+        assert dict(tr.mesh.shape) == {"data": 8, "model": 1}
+
 
 class TestTrainLoop:
     def test_runs_and_logs(self, npy_path, tmp_path):

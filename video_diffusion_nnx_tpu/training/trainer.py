@@ -29,6 +29,7 @@ TPU-first improvements over the reference hot loop:
 from __future__ import annotations
 
 import logging
+import math
 import time
 
 from pathlib import Path
@@ -210,6 +211,17 @@ class Trainer:
             assert self.batch_size % self.n_devices == 0, (
                 "batch_size must be divisible by number of devices"
             )
+            if self.n_devices % num_model_shards != 0:
+                # e.g. config_v2_3 (num_model_shards: 2) on a single dev
+                # chip: clamp to a feasible degree instead of crashing so
+                # every shipped config runs anywhere (the reference asserts).
+                feasible = math.gcd(self.n_devices, num_model_shards)
+                logger.warning(
+                    "num_model_shards=%d does not divide the %d available "
+                    "device(s); clamping to %d",
+                    num_model_shards, self.n_devices, feasible,
+                )
+                num_model_shards = self.num_model_shards = feasible
             self.per_device_bs = self.batch_size // self.n_devices
             self.mesh = data_model_mesh(self.n_devices, num_model_shards)
         logger.info(
