@@ -155,7 +155,10 @@ def main() -> None:
 
     elapsed = min(fused_s, f32_s)
     n_chips = jax.device_count()
-    train_mfu = (train_flops / train_s / (_V5E_PEAK_FLOPS * n_chips)) if train_flops else 0.0
+    # The train bench is an UNSHARDED jit: it runs on one chip regardless of
+    # the host's device count, so its per-chip numbers divide by 1 (the
+    # sampling path shards over all chips and divides by n_chips).
+    train_mfu = (train_flops / train_s / _V5E_PEAK_FLOPS) if train_flops else 0.0
 
     result = {
         "metric": "ddpm_sample_250step_16f_64x64_b8_wallclock",
@@ -167,7 +170,7 @@ def main() -> None:
         "bf16_fused_s": round(fused_s, 3),
         "ddim_50step_s": round(ddim_s, 3),
         "train_step_v2_2_b4_bf16_ms": round(train_s * 1000, 1),
-        "train_steps_per_sec_per_chip": round(1.0 / train_s / n_chips, 2),
+        "train_steps_per_sec_per_chip": round(1.0 / train_s, 2),
         "train_step_composite_ms": round(train_comp_s * 1000, 1),
         "train_step_fused_ms": round(train_fused_s * 1000, 1),
         "train_mfu_est": round(train_mfu, 4),

@@ -15,8 +15,6 @@ import logging
 from pathlib import Path
 
 import jax
-import numpy as np
-from einops import rearrange
 
 logging.basicConfig(level=logging.INFO, force=True)
 log = logging.getLogger("sample")
@@ -52,45 +50,20 @@ def parse_args() -> argparse.Namespace:
 
 
 def build_model(config: dict):
-    """Construct the denoiser + diffusion wrapper a config describes."""
-    from flax import nnx
+    """Construct the diffusion wrapper a config describes (the canonical
+    builder lives in config.py so all CLIs thread identical knobs)."""
+    from video_diffusion_nnx_tpu.config import build_models
 
-    from video_diffusion_nnx_tpu.diffusion import GaussianDiffusion
-    from video_diffusion_nnx_tpu.models import Unet3D
-
-    u, d = config["unet"], config["diffusion"]
-    unet = Unet3D(
-        dim=u["dim"],
-        rngs=nnx.Rngs(u["rngs_seed"]),
-        dim_mults=tuple(u["dim_mults"]),
-        channels=u["channels"],
-        use_bert_text_cond=u["use_bert_text_cond"],
-        reference_compat=u.get("reference_compat", True),
-        compute_dtype=u.get("compute_dtype", None),
-        use_fused_attention=u.get("use_fused_attention", False),
-        use_fused_spatial_attention=u.get("use_fused_spatial_attention", False),
-    )
-    return GaussianDiffusion(
-        denoise_fn=unet,
-        image_size=d["image_size"],
-        num_frames=d["num_frames"],
-        timesteps=d["timesteps"],
-        loss_type=d["loss_type"],
-        channels=d["channels"],
-    )
+    _, diffusion = build_models(config)
+    return diffusion
 
 
 def write_gifs(videos: jax.Array, out_dir: Path) -> None:
     """Reference-compatible artifact format: one GIF per sample, scaled by
     the batch-global value range (reference sample.py:105-116)."""
-    from video_diffusion_nnx_tpu.utils import video_array_to_gif
+    from video_diffusion_nnx_tpu.utils import write_sample_gifs
 
-    frames_last = rearrange(np.asarray(videos), "b c f h w -> b f h w c")
-    lo, hi = frames_last.min(), frames_last.max()
-    scaled = ((frames_last - lo) / max(hi - lo, 1e-12) * 255).astype(np.uint8)
-    for i, clip in enumerate(scaled):
-        target = out_dir / f"sample_{i}.gif"
-        video_array_to_gif(clip, target)
+    for target in write_sample_gifs(videos, out_dir):
         log.info("wrote %s", target)
 
 

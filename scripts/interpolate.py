@@ -24,7 +24,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np
-from einops import rearrange
 
 logging.basicConfig(level=logging.INFO, force=True)
 log = logging.getLogger("interpolate")
@@ -70,10 +69,13 @@ def main() -> None:
         image_size=d["image_size"],
         channels=d["channels"],
         num_frames=d["num_frames"],
-        normalize=True,
+        # Match the scale the checkpoint was TRAINED on: normalize only if
+        # the training config did (reference-parity configs feed raw 0-255).
+        normalize=config["trainer"]["dataset_normalize"],
     )
     clip_a, clip_b = np.asarray(ds[args.index_a]), np.asarray(ds[args.index_b])
-    # Dataset yields (c, f, h, w) in [0,1]; the diffusion latents live in [-1,1].
+    # Dataset yields (c, f, h, w); normalize_img mirrors the training input
+    # path, whatever the dataset scale.
     x1 = normalize_img(jax.numpy.asarray(clip_a)[None])
     x2 = normalize_img(jax.numpy.asarray(clip_b)[None])
 
@@ -89,16 +91,12 @@ def main() -> None:
         names.append(f"interp_{lam:g}")
         log.info("interpolated lam=%g at t=%s", lam, args.t if args.t is not None else "T-1")
 
-    # One shared min-max scale so endpoint and blends are comparable.
-    batch = np.stack([np.asarray(c) for c in clips])
-    frames_last = rearrange(batch, "b c f h w -> b f h w c")
-    lo, hi = frames_last.min(), frames_last.max()
-    scaled = ((frames_last - lo) / max(hi - lo, 1e-12) * 255).astype(np.uint8)
-    from video_diffusion_nnx_tpu.utils import video_array_to_gif
+    # One shared min-max scale so endpoint and blends are comparable (the
+    # same batch-global scaling sample.py uses).
+    from video_diffusion_nnx_tpu.utils import write_sample_gifs
 
-    for name, clip in zip(names, scaled):
-        target = out_dir / f"{name}.gif"
-        video_array_to_gif(clip, target)
+    batch = np.stack([np.asarray(c) for c in clips])
+    for target in write_sample_gifs(batch, out_dir, names=names):
         log.info("wrote %s", target)
 
 

@@ -221,6 +221,30 @@ class TestFusedSpatialLinearAttention:
         np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
 
+    def test_q_softmax_head_scale_disparity(self):
+        """One head's q logits hundreds above a sibling head's in the same
+        128-lane group must not underflow the sibling's softmax to 0/0 NaN
+        (needs each head's own max, not a shared row max)."""
+        heads, dim, c = 4, 8, 16
+        sla = SpatialLinearAttention(c, heads=heads, D=dim, rngs=nnx.Rngs(0))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        # Blow up head 0's q columns so its logits dwarf the other heads'.
+        boost = np.ones((c, 3 * heads * dim), np.float32)
+        boost[:, :dim] = 500.0
+        wqkv = wqkv * boost
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, c))
+        got = sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, heads, dim, 1.0)
+        assert np.isfinite(np.asarray(got)).all()
+        want = sla_ops._composite_xla(x, wqkv, wo, heads, dim, 1.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+        gx = jax.grad(
+            lambda x: jnp.sum(
+                sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, heads, dim, 1.0) ** 2
+            )
+        )(x)
+        assert np.isfinite(np.asarray(gx)).all()
+
     def test_unet_fused_spatial_and_temporal_matches(self):
         kwargs = dict(dim=16, dim_mults=(1, 2), channels=1, attn_heads=2)
         base = Unet3D(rngs=nnx.Rngs(0), **kwargs)

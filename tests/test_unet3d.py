@@ -124,6 +124,36 @@ class TestCFG:
         got = net.forward_with_cond_scale(x, t, cond=cond, cond_scale=scale)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_batched_cfg_positional_cond(self):
+        """cond may be passed positionally (reference call style)."""
+        net = Unet3D(dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C, cond_dim=8)
+        x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (1, C, 2, 16, 16))
+        t = jnp.array([3.0])
+        cond = jax.random.normal(jax.random.PRNGKey(1), (1, 8))
+        got = net.forward_with_cond_scale(x, t, cond, cond_scale=2.0)
+        want = net.forward_with_cond_scale(x, t, cond=cond, cond_scale=2.0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_batched_cfg_shares_focus_mask(self):
+        """With prob_focus_present active and a key, the conditioned and null
+        halves must see the SAME focus mask (a (2b,) draw would give the two
+        halves different masks and break parity with a same-key two-pass)."""
+        net = Unet3D(dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C, cond_dim=8)
+        x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (4, C, 2, 16, 16))
+        t = jnp.array([3.0, 1.0, 7.0, 2.0])
+        cond = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        key = jax.random.PRNGKey(42)
+        scale = 2.0
+        cond_logits = net(x, t, cond=cond, null_cond_prob=0.0,
+                          prob_focus_present=0.5, key=key)
+        null_logits = net(x, t, cond=cond, null_cond_prob=1.0,
+                          prob_focus_present=0.5, key=key)
+        want = null_logits + (cond_logits - null_logits) * scale
+        got = net.forward_with_cond_scale(
+            x, t, cond=cond, cond_scale=scale, prob_focus_present=0.5, key=key
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
 
 class TestStateTree:
     """The nnx state tree is the checkpoint format — its paths are a contract

@@ -10,11 +10,7 @@ import argparse
 import logging
 from pathlib import Path
 
-from flax import nnx
-
-from video_diffusion_nnx_tpu.config import load_config
-from video_diffusion_nnx_tpu.diffusion import GaussianDiffusion
-from video_diffusion_nnx_tpu.models import Unet3D
+from video_diffusion_nnx_tpu.config import build_models, load_config
 from video_diffusion_nnx_tpu.training import Trainer
 
 
@@ -23,32 +19,8 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
     master_seed = rng_seed if rng_seed is not None else config.get("rng_seed", 0)
     logging.info("Using master RNG seed: %s", master_seed)
 
-    unet_cfg = config["unet"]
-    logging.info("Building Unet3D denoiser")
-    rngs = nnx.Rngs(unet_cfg["rngs_seed"])
-    unet_model = Unet3D(
-        dim=unet_cfg["dim"],
-        rngs=rngs,
-        dim_mults=tuple(unet_cfg["dim_mults"]),
-        channels=unet_cfg["channels"],
-        use_bert_text_cond=unet_cfg["use_bert_text_cond"],
-        reference_compat=unet_cfg.get("reference_compat", True),
-        compute_dtype=unet_cfg.get("compute_dtype", None),
-        use_fused_attention=unet_cfg.get("use_fused_attention", False),
-        use_fused_spatial_attention=unet_cfg.get("use_fused_spatial_attention", False),
-        remat_blocks=unet_cfg.get("remat_blocks", False),
-    )
-
-    diff_cfg = config["diffusion"]
-    logging.info("Building GaussianDiffusion process")
-    diffusion_model = GaussianDiffusion(
-        denoise_fn=unet_model,
-        image_size=diff_cfg["image_size"],
-        num_frames=diff_cfg["num_frames"],
-        timesteps=diff_cfg["timesteps"],
-        loss_type=diff_cfg["loss_type"],
-        channels=diff_cfg["channels"],
-    )
+    logging.info("Building Unet3D denoiser + GaussianDiffusion process")
+    unet_model, diffusion_model = build_models(config)
 
     trainer_cfg = config["trainer"]
     logging.info("Building Trainer")

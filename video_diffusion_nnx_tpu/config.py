@@ -84,3 +84,42 @@ def load_config(path: str | Path) -> dict[str, Any]:
     cfg["diffusion"] = {**_DIFFUSION_DEFAULTS, **raw.get("diffusion", {})}
     cfg["trainer"] = {**_TRAINER_DEFAULTS, **raw.get("trainer", {})}
     return cfg
+
+
+def build_models(config: dict[str, Any]):
+    """Instantiate ``(unet, diffusion)`` from a merged config.
+
+    The single place that threads ``unet:``/``diffusion:`` keys into the
+    constructors — train.py, sample.py, and scripts all build through here,
+    so a new config knob cannot silently diverge between the CLIs (a
+    checkpointed model must be rebuilt with the exact architecture flags it
+    was trained with).
+    """
+    from flax import nnx
+
+    from video_diffusion_nnx_tpu.diffusion import GaussianDiffusion
+    from video_diffusion_nnx_tpu.models import Unet3D
+
+    u = {**_UNET_DEFAULTS, **config.get("unet", {})}
+    d = {**_DIFFUSION_DEFAULTS, **config.get("diffusion", {})}
+    unet = Unet3D(
+        dim=u["dim"],
+        rngs=nnx.Rngs(u["rngs_seed"]),
+        dim_mults=tuple(u["dim_mults"]),
+        channels=u["channels"],
+        use_bert_text_cond=u["use_bert_text_cond"],
+        reference_compat=u["reference_compat"],
+        compute_dtype=u["compute_dtype"],
+        use_fused_attention=u["use_fused_attention"],
+        use_fused_spatial_attention=u["use_fused_spatial_attention"],
+        remat_blocks=u["remat_blocks"],
+    )
+    diffusion = GaussianDiffusion(
+        denoise_fn=unet,
+        image_size=d["image_size"],
+        num_frames=d["num_frames"],
+        timesteps=d["timesteps"],
+        loss_type=d["loss_type"],
+        channels=d["channels"],
+    )
+    return unet, diffusion

@@ -304,8 +304,13 @@ class Unet3D(nnx.Module):
         if cond_scale == 1 or not self.has_cond:
             return self(*args, null_cond_prob=0.0, **kwargs)
 
+        if len(args) > 3:
+            raise TypeError(
+                "forward_with_cond_scale takes at most (x, time, cond) "
+                "positionally; pass the rest as keywords"
+            )
         x, time = args[0], args[1]
-        cond = kwargs.pop("cond", None)
+        cond = args[2] if len(args) > 2 else kwargs.pop("cond", None)
         assert cond is not None, "has_cond requires cond"
         b = x.shape[0]
         x2 = jnp.concatenate([x, x], axis=0)
@@ -314,6 +319,14 @@ class Unet3D(nnx.Module):
         # First half: conditioned (mask False); second half: null (mask True).
         null_mask = jnp.arange(2 * b) >= b
         fpm = kwargs.pop("focus_present_mask", None)
+        prob_fp = kwargs.pop("prob_focus_present", 0.0)
+        if fpm is None and prob_fp > 0:
+            # Draw the (b,) mask ONCE with the same subkey the single-pass
+            # draw would use, so both CFG halves share it — a (2b,) draw
+            # would give the conditioned and null passes different masks.
+            key = kwargs.get("key")
+            mask_key = jax.random.split(key)[0] if key is not None else None
+            fpm = prob_mask_like((b,), prob_fp, key=mask_key)
         if fpm is not None:
             fpm = jnp.concatenate([fpm, fpm], axis=0)
         out = self(

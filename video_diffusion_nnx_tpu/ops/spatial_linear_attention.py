@@ -92,6 +92,19 @@ def _kernel(wq_ref, wk_ref, wv_ref, wo_ref, x_ref, out_ref, *, group, dim, scale
     out_ref[0] = x + y.astype(x.dtype)
 
 
+def _head_group(heads: int, dim: int) -> tuple[int, int]:
+    """``(group, n_groups)``: how many heads share one 128-lane panel.
+
+    The single definition used by the kernels' weight views AND the VMEM
+    gate — they must agree on the grouping or the gate estimates the wrong
+    kernel.
+    """
+    group = max(1, min(heads, 128 // dim))
+    while heads % group != 0:
+        group -= 1
+    return group, heads // group
+
+
 def _group_views(wqkv, wo, heads: int, dim: int, dtype):
     """Packed (c, 3HD)/(HD, c) params -> group-major kernel views.
 
@@ -100,10 +113,7 @@ def _group_views(wqkv, wo, heads: int, dim: int, dtype):
     """
     c = wqkv.shape[0]
     hd = heads * dim
-    group = max(1, min(heads, 128 // dim))
-    while heads % group != 0:
-        group -= 1
-    n_groups = heads // group
+    group, n_groups = _head_group(heads, dim)
     gd = group * dim
     wqkv_c = wqkv.astype(dtype)
     wq = jnp.transpose(wqkv_c[:, :hd].reshape(c, n_groups, gd), (1, 0, 2))
@@ -122,15 +132,29 @@ def _block_diag_mask(gd: int, dim: int) -> jax.Array:
 def _blockwise_q_softmax(q, n, group, dim, scale):
     """Per-head softmax over each dim-wide feature block of a (n, g*d) panel.
 
-    Two VPU-friendly tricks replace per-block slicing/concat machinery:
-    * the max subtracted before exp is the ROW max (over all g*d lanes) —
-      any per-row constant shared within a block cancels in the softmax
-      ratio, and the row max >= each block max, so exp never overflows;
-    * the per-block sums broadcast back to lanes via ONE matmul with the
-      block-diagonal 0/1 mask (MXU) instead of slice+reduce+concat.
+    The max subtracted before exp is each head's OWN block max (static lane
+    slices + lane concat — both Mosaic-supported), exactly like the
+    composite's per-head softmax. A shared row max across the group is NOT
+    safe: when one head's logits sit far (> ~88, the f32 exp underflow
+    range) below a sibling head's, its whole exp block underflows to zero
+    and the 0/0 division poisons the output with NaN. The per-block sums
+    broadcast back to lanes via ONE matmul with the block-diagonal 0/1 mask
+    (MXU) instead of slice+reduce+concat.
     """
     gd = group * dim
-    m = jnp.max(q, axis=-1, keepdims=True)
+    if group == 1:
+        m = jnp.max(q, axis=-1, keepdims=True)
+    else:
+        m = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.max(q[:, i * dim : (i + 1) * dim], axis=-1, keepdims=True),
+                    (q.shape[0], dim),
+                )
+                for i in range(group)
+            ],
+            axis=-1,
+        )
     e = jnp.exp(q - m)
     s = jnp.dot(e, _block_diag_mask(gd, dim), preferred_element_type=jnp.float32)
     q = e / s
@@ -685,6 +709,39 @@ def _bwd_kv_chunk2_kernel(
     dx_ref[0] = (dxp_ref[0].astype(jnp.float32) + dxT.T).astype(dx_ref.dtype)
 
 
+def _q_path_pallas(xt, gt, wq, wo3, ctx, group, dim, scale):
+    """Token-chunked q/out-projection backward (shared by the whole-frame
+    and chunked k/v backwards): returns ``(dxq, dctx, dwq, dwo3)``."""
+    frames, n, c = xt.shape
+    n_groups, _, gd = wq.shape
+    nc = _token_chunk(n)
+    const2 = lambda i, j: (0, 0, 0)  # noqa: E731 — grid-invariant weight grads
+    return pl.pallas_call(
+        functools.partial(_bwd_q_kernel, group=group, dim=dim, scale=scale),
+        grid=(frames, n // nc),
+        in_specs=[
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((frames, n, c), xt.dtype),
+            jax.ShapeDtypeStruct((frames, n_groups, gd, gd), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, c, gd), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(wq, wo3, ctx, xt, gt)
+
+
 def _backward_pallas_chunked(x, wqkv, wo, g, heads, dim, scale):
     """Fused backward for frames too wide for the whole-frame k/v kernel.
 
@@ -703,34 +760,9 @@ def _backward_pallas_chunked(x, wqkv, wo, g, heads, dim, scale):
     gd = group * dim
 
     ctx, m, z = _ctx_stats_pallas(xt, wk, wv, group, dim)
+    dxq, dctx, dwq, dwo3 = _q_path_pallas(xt, gt, wq, wo3, ctx, group, dim, scale)
 
-    nc = _token_chunk(n)
     const2 = lambda i, j: (0, 0, 0)  # noqa: E731
-    dxq, dctx, dwq, dwo3 = pl.pallas_call(
-        functools.partial(_bwd_q_kernel, group=group, dim=dim, scale=scale),
-        grid=(frames, n // nc),
-        in_specs=[
-            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((frames, n, c), x.dtype),
-            jax.ShapeDtypeStruct((frames, n_groups, gd, gd), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, c, gd), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
-        ],
-        interpret=FORCE_INTERPRET,
-    )(wq, wo3, ctx, xt, gt)
-
     nck = _token_chunk(min(n, 1024))
     stat_spec = pl.BlockSpec((1, n_groups, gd, 1), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     chunk_spec = pl.BlockSpec((1, nck, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
@@ -811,33 +843,7 @@ def _backward_pallas(x, wqkv, wo, g, heads, dim, scale):
     gd = group * dim
 
     ctx = _ctx_pallas(xt, wk, wv, group, dim)
-
-    nc = _token_chunk(n)
-    const2 = lambda i, j: (0, 0, 0)  # noqa: E731 — grid-invariant weight grads
-    dxq, dctx, dwq, dwo3 = pl.pallas_call(
-        functools.partial(_bwd_q_kernel, group=group, dim=dim, scale=scale),
-        grid=(frames, n // nc),
-        in_specs=[
-            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, nc, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_groups, gd, gd), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, c, gd), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, gd, c), const2, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((frames, n, c), x.dtype),
-            jax.ShapeDtypeStruct((frames, n_groups, gd, gd), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, c, gd), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, gd, c), jnp.float32),
-        ],
-        interpret=FORCE_INTERPRET,
-    )(wq, wo3, ctx, xt, gt)
+    dxq, dctx, dwq, dwo3 = _q_path_pallas(xt, gt, wq, wo3, ctx, group, dim, scale)
 
     const1 = lambda i: (0, 0, 0)  # noqa: E731
     dx, dwk, dwv = pl.pallas_call(
@@ -900,9 +906,7 @@ def _bwd_fits(x, heads: int, dim: int) -> bool:
     _, _, hh, ww, c = x.shape
     n = hh * ww
     it = 2 if x.dtype in (jnp.bfloat16, jnp.float16) else 4
-    group = max(1, min(heads, 128 // dim))
-    while heads % group != 0:
-        group -= 1
+    group, _ = _head_group(heads, dim)
     gd = group * dim
     per_token = 6 * gd * 4 + 2 * gd * it + 3 * 2 * _pad128(c) * it + c * 4 + c * it
     return 0.7 * n * per_token <= 15.5 * 1024 * 1024

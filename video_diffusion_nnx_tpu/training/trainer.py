@@ -677,23 +677,15 @@ class Trainer:
 
     def _sample_and_save(self) -> None:
         """Write ``num_sample_rows`` EMA sample GIFs to
-        ``results/samples/step_{N}/sample_{i}.gif`` (min-max scaled like
-        sample.py)."""
-        import numpy as np
-        from einops import rearrange
-
-        from video_diffusion_nnx_tpu.utils import video_array_to_gif
+        ``results/samples/step_{N}/sample_{i}.gif`` (same shared artifact
+        writer as sample.py)."""
+        from video_diffusion_nnx_tpu.utils import write_sample_gifs
 
         try:
             videos = self.sample_batch(self.num_sample_rows)
             out_dir = self.results_folder / "samples" / f"step_{self.step}"
-            out_dir.mkdir(parents=True, exist_ok=True)
-            arr = rearrange(np.asarray(videos), "b c f h w -> b f h w c")
-            lo, hi = arr.min(), arr.max()
-            scaled = ((arr - lo) / max(hi - lo, 1e-12) * 255).astype(np.uint8)
-            for i, clip in enumerate(scaled):
-                video_array_to_gif(clip, out_dir / f"sample_{i}.gif")
-            logger.info("Step: %d | Wrote %d sample GIFs to %s", self.step, len(scaled), out_dir)
+            paths = write_sample_gifs(videos, out_dir)
+            logger.info("Step: %d | Wrote %d sample GIFs to %s", self.step, len(paths), out_dir)
         except Exception as e:
             logger.error("Error sampling at step %d: %s", self.step, e)
 

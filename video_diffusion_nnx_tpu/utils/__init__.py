@@ -32,6 +32,7 @@ from video_diffusion_nnx_tpu.utils.media import (
     CHANNELS_TO_MODE,
     seek_all_images,
     video_array_to_gif,
+    write_sample_gifs,
 )
 from video_diffusion_nnx_tpu.utils.schedule import (
     ScheduleBuffers,
@@ -85,6 +86,7 @@ __all__ = [
     "seek_all_images",
     "unnormalize_img",
     "video_array_to_gif",
+    "write_sample_gifs",
     "Upsample",
     "Downsample",
 ]

@@ -81,3 +81,29 @@ def video_array_to_gif(
         optimize=optimize,
     )
     return frames
+
+
+def write_sample_gifs(videos, out_dir, names=None) -> list:
+    """Write a ``(b, c, f, h, w)`` batch as one GIF per clip.
+
+    The reference-compatible artifact format (reference sample.py:105-116):
+    batch-GLOBAL min-max scaling to uint8, so clips stay comparable to each
+    other, then ``{name}.gif`` per clip (default ``sample_{i}``). The single
+    definition shared by sample.py, the trainer's in-training sampling, and
+    scripts/interpolate.py.
+    """
+    from pathlib import Path
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    arr = np.moveaxis(np.asarray(videos), 1, -1)  # b c f h w -> b f h w c
+    lo, hi = arr.min(), arr.max()
+    scaled = ((arr - lo) / max(float(hi - lo), 1e-12) * 255).astype(np.uint8)
+    if names is None:
+        names = [f"sample_{i}" for i in range(len(scaled))]
+    paths = []
+    for name, clip in zip(names, scaled):
+        target = out_dir / f"{name}.gif"
+        video_array_to_gif(clip, target)
+        paths.append(target)
+    return paths
