@@ -137,8 +137,13 @@ class TestCFG:
     def test_batched_cfg_shares_focus_mask(self):
         """With prob_focus_present active and a key, the conditioned and null
         halves must see the SAME focus mask (a (2b,) draw would give the two
-        halves different masks and break parity with a same-key two-pass)."""
-        net = Unet3D(dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C, cond_dim=8)
+        halves different masks and break parity with a same-key two-pass).
+        Fixed mode: in compat mode PreNorm drops the mask before attention,
+        which would make any mask mismatch invisible to this test."""
+        net = Unet3D(
+            dim=DIM, rngs=nnx.Rngs(0), dim_mults=(1, 2), channels=C, cond_dim=8,
+            reference_compat=False,
+        )
         x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (4, C, 2, 16, 16))
         t = jnp.array([3.0, 1.0, 7.0, 2.0])
         cond = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
