@@ -221,6 +221,30 @@ class TestFusedSpatialLinearAttention:
         np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize(
+        "heads,dim",
+        [(4, 12), (3, 8)],  # gd=48/24: head groups that don't fill 128 lanes
+    )
+    def test_irregular_head_dims(self, heads, dim):
+        """Head dims whose groups don't pack 128 lanes exactly still match
+        the composite, forward and backward."""
+        c = 24
+        sla = SpatialLinearAttention(c, heads=heads, D=dim, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 3, 5, c))
+        wqkv, wo = sla_ops.pack_sla_weights(sla)
+        got = sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, heads, dim, 1.0)
+        want = sla_ops._composite_xla(x, wqkv, wo, heads, dim, 1.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+        gx = jax.grad(
+            lambda x: jnp.sum(
+                sla_ops.fused_spatial_linear_attention_block(x, wqkv, wo, heads, dim, 1.0) ** 2
+            )
+        )(x)
+        gr = jax.grad(
+            lambda x: jnp.sum(sla_ops._composite_xla(x, wqkv, wo, heads, dim, 1.0) ** 2)
+        )(x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
     def test_q_softmax_head_scale_disparity(self):
         """One head's q logits hundreds above a sibling head's in the same
         128-lane group must not underflow the sibling's softmax to 0/0 NaN
