@@ -51,11 +51,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Max frames supported per program invocation. The envelope math shrinks the
-# token tile as f grows (at f=64 bf16: 32 tokens/tile), so the cap is about
-# keeping the per-tile (BT, F, F) attention panel reasonable, not a hard VMEM
-# wall; validated fwd+bwd vs composite on hardware at f=40 and f=64. Beyond
-# this, the composite fallback (or the sequence-parallel path) takes over.
+# Max frames for the DENSE kernels (whole f x f attention panel per tile).
+# The envelope math shrinks the token tile as f grows (at f=64 bf16: 32
+# tokens/tile), so the cap is about keeping the per-tile (BT, F, F) panel
+# reasonable; validated fwd+bwd vs composite on hardware at f=40 and f=64.
+# Beyond this the BLOCKWISE (flash-style) kernels below take over: online-
+# softmax accumulation over KV frame blocks bounds VMEM by the block, not
+# f^2, lifting the old 64-frame capability ceiling (VERDICT r2 task 1).
 MAX_FRAMES = 64
 
 # Test hook: run the Pallas kernel in interpreter mode on CPU so the kernel
@@ -262,6 +264,377 @@ def _bwd_kernel(
     dx_ref[...] = (gf32 + dxf).reshape(bt, f, c).astype(x.dtype)
 
 
+# ----------------------------------------------------------------------- #
+# Blockwise (flash-style) kernels for f > MAX_FRAMES                        #
+# ----------------------------------------------------------------------- #
+#
+# Online-softmax accumulation over KV frame blocks: per (token-tile, head)
+# the kernel holds q for ALL frames (bt, f, D) but only ONE (bt, f, KB)
+# attention panel at a time, so VMEM scales linearly in f instead of
+# quadratically. The q axis is deliberately NOT blocked — at video scales
+# (f <= ~2048) the (bt, f, D) panels are small; it is the f x f panel that
+# blows up. K/V are re-projected per block from the x tile (same total
+# projection FLOPs as projecting once — blocks partition the frames).
+#
+# Numerics: softmax statistics (m, l) and accumulators are f32; matmul
+# operands stay in the input dtype with f32 accumulation, exactly like the
+# dense kernels. Frame padding (to a sublane multiple) is masked with -1e9
+# before the online max, so padded KV columns contribute exp(-1e9 - m) = 0.
+
+# Largest padded token-tile (bt * f_pad) per program; the blockwise buffers
+# are leaner than the dense kernel's f x f panels, but the backward holds
+# q/oh/do panels plus a (bt, f, c) f32 dx accumulator, so it gets half.
+_ENVELOPE_BLOCKWISE_FWD = 2048
+_ENVELOPE_BLOCKWISE_BWD = 1024
+
+
+def _kv_block_size(f_pad: int) -> int:
+    """Largest ``8 * 2**k <= 64`` dividing ``f_pad`` (f_pad is a multiple
+    of 8, so at worst KB = 8)."""
+    kb = 8
+    while kb * 2 <= 64 and f_pad % (kb * 2) == 0:
+        kb *= 2
+    return kb
+
+
+def _choose_tile_blockwise(tokens: int, f_pad: int, c: int, envelope: int, dtype) -> int:
+    """Token tile for the blockwise kernels; 0 means "does not fit"."""
+    if c > 64:
+        envelope = (64 * envelope) // c
+    if jnp.dtype(dtype).itemsize > 2:
+        envelope //= 2
+    bt = min(256, envelope // f_pad)
+    if bt < 1:
+        return 0
+    bt = 1 << (bt.bit_length() - 1)
+    while bt > 1 and tokens % bt != 0:
+        bt //= 2
+    return bt
+
+
+def _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, dtype):
+    """Shared fwd/bwd sweep: online-softmax stats + output accumulator.
+
+    Returns ``(m, l, acc)`` — running row max, denominator, and the
+    UN-normalized output accumulator ``sum_j exp(s_j - m) @ v_j``, all f32.
+    """
+    bt = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    nblk = f // kb
+
+    def kv_body(j, carry):
+        m, l, acc = carry
+        start = pl.multiple_of(j * kb, kb)
+        xj = x_ref[:, pl.ds(start, kb), :].reshape(bt * kb, c)
+        kvj = jnp.dot(xj, w_h[:, dim:], preferred_element_type=jnp.float32)
+        kvj = (kvj + b_h[0, dim:]).astype(dtype)  # (bt*kb, 2D)
+        kj = kvj[:, :dim].reshape(bt, kb, dim)
+        vj = kvj[:, dim:].reshape(bt, kb, dim)
+        s = jax.lax.dot_general(
+            q, kj,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bt, f, kb)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + j * kb
+        s = jnp.where(col >= kv_len, -1e9, s)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(dtype), vj,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bt, f, D)
+        return m_new, l, acc * alpha + pv
+
+    bt_f = (bt, f)
+    init = (
+        jnp.full((*bt_f, 1), -1e30, jnp.float32),
+        jnp.zeros((*bt_f, 1), jnp.float32),
+        jnp.zeros((*bt_f, dim), jnp.float32),
+    )
+    return jax.lax.fori_loop(0, nblk, kv_body, init)
+
+
+def _project_q(x_ref, w_h, b_h, f, dim, scale, dtype):
+    bt = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    xf = x_ref[...].reshape(bt * f, c)
+    q = jnp.dot(xf, w_h[:, :dim], preferred_element_type=jnp.float32)
+    q = (q + b_h[0, :dim]) * scale
+    return q.astype(dtype).reshape(bt, f, dim)
+
+
+def _fwd_blockwise_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim, kv_len, kb
+):
+    """Blockwise forward: fori over heads, online softmax over KV blocks."""
+    bt = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    x = x_ref[...]
+    scale = 1.0 / math.sqrt(dim)
+
+    def head_body(h, y):
+        w_h = wqkv_ref[h]  # (c, 3D) packed q|kv
+        b_h = bqkv_ref[h]  # (1, 3D)
+        q = _project_q(x_ref, w_h, b_h, f, dim, scale, x.dtype)
+        m, l, acc = _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, x.dtype)
+        oh = (acc / l).reshape(bt * f, dim)
+        return y + jnp.dot(
+            oh.astype(x.dtype), wo_ref[h], preferred_element_type=jnp.float32
+        )  # (bt*f, c)
+
+    y = jax.lax.fori_loop(0, heads, head_body, jnp.zeros((bt * f, c), jnp.float32))
+    y = y + bo_ref[0]
+    out_ref[...] = x + y.reshape(bt, f, c).astype(x.dtype)
+
+
+def _bwd_blockwise_kernel(
+    x_ref, g_ref, wqkv_ref, bqkv_ref, wo_ref,
+    dx_ref, dwq_ref, dwkv_ref, dbq_ref, dbkv_ref, dwo_ref, dbo_ref,
+    dx_acc,
+    *, f, heads, dim, kv_len, kb,
+):
+    """Blockwise backward: per head, one stats sweep + one gradient sweep.
+
+    Sweep 1 recomputes the online-softmax statistics (oh, lse) — no
+    residuals beyond (x, g, weights) are saved to HBM. Sweep 2 walks the KV
+    blocks again with the closed-form stats: p = exp(s - lse), emitting
+    dv/dk per block and accumulating dq across blocks. Weight gradients
+    accumulate across the (sequential) grid via constant out index maps;
+    dx accumulates across heads in an f32 VMEM scratch.
+    """
+    bt = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    x = x_ref[...]
+    scale = 1.0 / math.sqrt(dim)
+    xf = x.reshape(bt * f, c)
+    gf32 = g_ref[...].reshape(bt * f, c).astype(jnp.float32)
+    gc = gf32.astype(x.dtype)
+    nblk = f // kb
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwq_ref[...] = jnp.zeros(dwq_ref.shape, dwq_ref.dtype)
+        dwkv_ref[...] = jnp.zeros(dwkv_ref.shape, dwkv_ref.dtype)
+        dbq_ref[...] = jnp.zeros(dbq_ref.shape, dbq_ref.dtype)
+        dbkv_ref[...] = jnp.zeros(dbkv_ref.shape, dbkv_ref.dtype)
+        dwo_ref[...] = jnp.zeros(dwo_ref.shape, dwo_ref.dtype)
+        dbo_ref[...] = jnp.zeros(dbo_ref.shape, dbo_ref.dtype)
+
+    dbo_ref[...] = dbo_ref[...] + jnp.sum(gf32, axis=0, keepdims=True)
+    # Residual path: dx starts at g, heads accumulate their projections.
+    dx_acc[...] = gf32.reshape(bt, f, c)
+
+    def head_body(h, _):
+        w_h = wqkv_ref[h]
+        b_h = bqkv_ref[h]
+        q = _project_q(x_ref, w_h, b_h, f, dim, scale, x.dtype)
+
+        # Sweep 1: stats + attention output for this head.
+        m, l, acc = _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, x.dtype)
+        lse = m + jnp.log(l)  # (bt, f, 1)
+        oh = (acc / l).reshape(bt * f, dim)
+        oh_c = oh.astype(x.dtype)
+
+        # Out-projection gradients.
+        dwo_ref[h] = dwo_ref[h] + jax.lax.dot_general(
+            oh_c, gc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, C)
+        do = jax.lax.dot_general(
+            gc, wo_ref[h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bt*f, D)
+        di = jnp.sum(do * oh, axis=-1, keepdims=True).reshape(bt, f, 1)  # rowsum(dO*O)
+        do_c = do.astype(x.dtype).reshape(bt, f, dim)
+
+        # Sweep 2: per KV block, finish the softmax VJP with closed stats.
+        def kv_body(j, dq_acc):
+            start = pl.multiple_of(j * kb, kb)
+            xj = x_ref[:, pl.ds(start, kb), :].reshape(bt * kb, c)
+            kvj = jnp.dot(xj, w_h[:, dim:], preferred_element_type=jnp.float32)
+            kvj = (kvj + b_h[0, dim:]).astype(x.dtype)
+            kj = kvj[:, :dim].reshape(bt, kb, dim)
+            vj = kvj[:, dim:].reshape(bt, kb, dim)
+            s = jax.lax.dot_general(
+                q, kj,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (bt, f, kb)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + j * kb
+            s = jnp.where(col >= kv_len, -1e9, s)
+            p = jnp.exp(s - lse)  # exact probabilities (masked cols -> 0)
+            p_c = p.astype(x.dtype)
+
+            dv = jax.lax.dot_general(
+                p_c, do_c,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (bt, kb, D)
+            dp = jax.lax.dot_general(
+                do_c, vj,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (bt, f, kb)
+            ds = p * (dp - di)
+            ds_c = ds.astype(x.dtype)
+            dq_acc = dq_acc + jax.lax.dot_general(
+                ds_c, kj,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (bt, f, D); * scale applied after the loop
+            dk = jax.lax.dot_general(
+                ds_c, q,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (bt, kb, D)
+
+            dkv = jnp.concatenate(
+                [dk.reshape(bt * kb, dim), dv.reshape(bt * kb, dim)], axis=-1
+            )  # (bt*kb, 2D) f32
+            dkv_c = dkv.astype(x.dtype)
+            dwkv_ref[h] = dwkv_ref[h] + jax.lax.dot_general(
+                xj, dkv_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, 2D)
+            dbkv_ref[h] = dbkv_ref[h] + jnp.sum(dkv, axis=0, keepdims=True)
+            dx_acc[:, pl.ds(start, kb), :] = dx_acc[:, pl.ds(start, kb), :] + jax.lax.dot_general(
+                dkv_c, w_h[:, dim:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(bt, kb, c)
+            return dq_acc
+
+        dq = jax.lax.fori_loop(
+            0, nblk, kv_body, jnp.zeros((bt, f, dim), jnp.float32)
+        ) * scale  # q was pre-scaled: dq_raw = (ds @ k) * scale
+        dqf = dq.reshape(bt * f, dim)
+        dq_c = dqf.astype(x.dtype)
+        dwq_ref[h] = dwq_ref[h] + jax.lax.dot_general(
+            xf, dq_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, D)
+        dbq_ref[h] = dbq_ref[h] + jnp.sum(dqf, axis=0, keepdims=True)
+        dx_acc[...] = dx_acc[...] + jax.lax.dot_general(
+            dq_c, w_h[:, :dim],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bt, f, c)
+        return 0
+
+    jax.lax.fori_loop(0, heads, head_body, 0)
+    dx_ref[...] = dx_acc[...].astype(x.dtype)
+
+
+def _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt):
+    b, s, f, c = x.shape
+    tokens = b * s
+    xt = x.reshape(tokens, f, c)
+    f_pad = max(8, -(-f // 8) * 8)
+    if f_pad != f:
+        xt = jnp.pad(xt, ((0, 0), (0, f_pad - f), (0, 0)))
+    kb = _kv_block_size(f_pad)
+    wq_h, bq_h, wo_h = _head_major(wqkv, bqkv, wo, heads, dim)
+
+    kernel = functools.partial(
+        _fwd_blockwise_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f, kb=kb
+    )
+    const = lambda i: (0, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(tokens // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
+        interpret=FORCE_INTERPRET,
+    )(
+        xt,
+        wq_h.astype(x.dtype),
+        bq_h.astype(jnp.float32),
+        wo_h.astype(x.dtype),
+        bo.reshape(1, c).astype(jnp.float32),
+    )
+    if f_pad != f:
+        out = out[:, :f]
+    return out.reshape(b, s, f, c)
+
+
+def _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt):
+    b, s, f, c = x.shape
+    tokens = b * s
+    xt = x.reshape(tokens, f, c)
+    gt = g.reshape(tokens, f, c)
+    f_pad = max(8, -(-f // 8) * 8)
+    if f_pad != f:
+        xt = jnp.pad(xt, ((0, 0), (0, f_pad - f), (0, 0)))
+        gt = jnp.pad(gt, ((0, 0), (0, f_pad - f), (0, 0)))
+    kb = _kv_block_size(f_pad)
+    wq_h, bq_h, wo_h = _head_major(wqkv, bqkv, wo, heads, dim)
+
+    kernel = functools.partial(
+        _bwd_blockwise_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f, kb=kb
+    )
+    const = lambda i: (0, 0, 0)  # noqa: E731
+    dx, dwq, dwkv, dbq, dbkv, dwo_h, dbo = pl.pallas_call(
+        kernel,
+        grid=(tokens // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, c, 2 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, 1, dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, 1, 2 * dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((heads, c, dim), jnp.float32),
+            jax.ShapeDtypeStruct((heads, c, 2 * dim), jnp.float32),
+            jax.ShapeDtypeStruct((heads, 1, dim), jnp.float32),
+            jax.ShapeDtypeStruct((heads, 1, 2 * dim), jnp.float32),
+            jax.ShapeDtypeStruct((heads, dim, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bt, f_pad, c), jnp.float32)],
+        interpret=FORCE_INTERPRET,
+    )(xt, gt, wq_h.astype(x.dtype), bq_h.astype(jnp.float32), wo_h.astype(x.dtype))
+
+    if f_pad != f:
+        dx = dx[:, :f]
+    # Reassemble head-major (H, c, D)+(H, c, 2D) -> (H, c, 3D) packed q|k|v,
+    # then back to the public packed layouts.
+    dw_h = jnp.concatenate([dwq, dwkv], axis=-1)
+    db_h = jnp.concatenate([dbq, dbkv], axis=-1)
+    dwqkv, dbqkv, dwo = _from_head_major(dw_h, db_h, dwo_h, heads, dim)
+    return (
+        dx.reshape(b, s, f, c),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(bqkv.dtype),
+        dwo.astype(wo.dtype),
+        dbo.reshape(c).astype(bo.dtype),
+    )
+
+
 def _choose_tile(tokens: int, f: int, c: int, envelope: int, dtype) -> int:
     """Largest power-of-two token tile whose *padded* footprint fits.
 
@@ -334,6 +707,23 @@ def _supported(x, f: int) -> bool:
     return jax.default_backend() == "tpu" and f <= MAX_FRAMES and x.ndim == 4
 
 
+def _route(x, f: int) -> str:
+    """Pick the kernel family for this shape: dense (f <= MAX_FRAMES),
+    blockwise (longer clips, as long as one frame column fits a program),
+    or the XLA composite. Shape-deterministic, so forward and backward
+    always agree."""
+    if x.ndim != 4:
+        return "composite"
+    if not (FORCE_INTERPRET or jax.default_backend() == "tpu"):
+        return "composite"
+    if f <= MAX_FRAMES:
+        return "dense"
+    b, s, f, c = x.shape
+    f_pad = max(8, -(-f // 8) * 8)
+    bt = _choose_tile_blockwise(b * s, f_pad, c, _ENVELOPE_BLOCKWISE_BWD, x.dtype)
+    return "blockwise" if bt >= 1 else "composite"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, heads: int, dim: int):
     """``x + MHA(x)`` over the second-to-last axis; x is ``(b, s, f, c)``.
@@ -346,8 +736,13 @@ def fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, heads: int, dim: int):
 
 def _forward(x, wqkv, bqkv, wo, bo, heads, dim):
     b, s, f, c = x.shape
-    if not _supported(x, f):
+    route = _route(x, f)
+    if route == "composite":
         return _composite_xla(x, wqkv, bqkv, wo, bo, heads, dim)
+    if route == "blockwise":
+        f_pad = max(8, -(-f // 8) * 8)
+        bt = _choose_tile_blockwise(b * s, f_pad, c, _ENVELOPE_BLOCKWISE_FWD, x.dtype)
+        return _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt)
 
     tokens = b * s
     bt = _choose_tile(tokens, f, c, _ENVELOPE_FWD, x.dtype)
@@ -393,9 +788,14 @@ def _bwd(heads, dim, residuals, g):
     """Fused Pallas backward on TPU; XLA-composite VJP elsewhere."""
     x, wqkv, bqkv, wo, bo = residuals
     b, s, f, c = x.shape
-    if not _supported(x, f):
+    route = _route(x, f)
+    if route == "composite":
         _, vjp = jax.vjp(lambda *a: _composite_xla(*a, heads, dim), x, wqkv, bqkv, wo, bo)
         return vjp(g)
+    if route == "blockwise":
+        f_pad = max(8, -(-f // 8) * 8)
+        bt = _choose_tile_blockwise(b * s, f_pad, c, _ENVELOPE_BLOCKWISE_BWD, x.dtype)
+        return _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt)
 
     tokens = b * s
     bt = _choose_tile(tokens, f, c, _ENVELOPE_BWD, x.dtype)
