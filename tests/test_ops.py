@@ -142,13 +142,195 @@ class TestFusedTemporalAttention:
         )(x)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
 
-    def test_frames_over_limit_fall_back(self):
+    def test_frames_over_dense_limit_route_blockwise(self):
+        """f = MAX_FRAMES+1 routes to the blockwise kernel (the old behavior
+        was a composite fallback — VERDICT r2 task 1), and matches."""
+        assert ta._route(jnp.zeros((1, 2, ta.MAX_FRAMES + 1, 16)), ta.MAX_FRAMES + 1) == "blockwise"
         mha = MultiheadAttention(in_features=16, dim=8, num_heads=4, rngs=nnx.Rngs(0))
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, ta.MAX_FRAMES + 1, 16))
         wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
         got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 4, 8)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(x + mha(x)), atol=2e-5
+        )
+
+
+class TestBlockwiseTemporalAttention:
+    """The flash-style (online-softmax over KV blocks) kernels for f > 64."""
+
+    def test_route_picks_blockwise_beyond_dense_cap(self):
+        assert ta._route(jnp.zeros((1, 4, 64, 16)), 64) == "dense"
+        assert ta._route(jnp.zeros((1, 4, 128, 16)), 128) == "blockwise"
+        # Column too tall for even bt=1 -> composite.
+        assert ta._route(jnp.zeros((1, 1, 4096, 16), jnp.float32), 4096) == "composite"
+
+    @pytest.mark.parametrize("f", [72, 128])
+    def test_forward_matches_composite(self, f):
+        """Multiple KV blocks (f=128 -> KB=64; f=72 -> KB=8) match the
+        composite bitwise-ish, including the ragged kv_len mask."""
+        mha = MultiheadAttention(in_features=16, dim=8, num_heads=2, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, f, 16))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 2, 8)
+        want = ta._composite_xla(x, wqkv, bqkv, wo, bo, 2, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+    def test_forward_ragged_frames(self):
+        """f=65: padded to 72, KB=8, the last real block is partially masked."""
+        mha = MultiheadAttention(in_features=16, dim=8, num_heads=2, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 65, 16))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 2, 8)
+        want = ta._composite_xla(x, wqkv, bqkv, wo, bo, 2, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+    def test_gradients_all_args_multi_tile(self):
+        """Blockwise backward vs composite VJP for every argument, with
+        several grid programs (cross-program weight-grad accumulation)."""
+        mha = MultiheadAttention(in_features=16, dim=8, num_heads=2, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 96, 16))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+
+        def grads(fn):
+            def f(x, wqkv, bqkv, wo, bo):
+                return jnp.sum(fn(x, wqkv, bqkv, wo, bo, 2, 8) ** 2)
+
+            return jax.grad(f, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wo, bo)
+
+        got = grads(ta.fused_temporal_attention_block)
+        want = grads(ta._composite_xla)
+        for g_f, g_r in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g_f), np.asarray(g_r), rtol=2e-4, atol=2e-4
+            )
+
+    def test_gradients_ragged_frames(self):
+        mha = MultiheadAttention(in_features=16, dim=8, num_heads=2, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 65, 16))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        gx = jax.grad(
+            lambda x: jnp.sum(ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 2, 8) ** 2)
+        )(x)
+        gx_ref = jax.grad(
+            lambda x: jnp.sum(ta._composite_xla(x, wqkv, bqkv, wo, bo, 2, 8) ** 2)
+        )(x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-4)
+
+    def test_bf16_forward_and_backward(self):
+        mha = MultiheadAttention(in_features=16, dim=8, num_heads=2, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 96, 16)).astype(jnp.bfloat16)
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        got = ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 2, 8)
+        assert got.dtype == jnp.bfloat16
+        want = ta._composite_xla(x, wqkv, bqkv, wo, bo, 2, 8)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05
+        )
+        gx = jax.grad(
+            lambda x: jnp.sum(
+                ta.fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, 2, 8)
+                .astype(jnp.float32) ** 2
+            )
+        )(x)
+        gx_ref = jax.grad(
+            lambda x: jnp.sum(
+                ta._composite_xla(x, wqkv, bqkv, wo, bo, 2, 8).astype(jnp.float32) ** 2
+            )
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(gx, np.float32), np.asarray(gx_ref, np.float32),
+            rtol=0.1, atol=0.25,
+        )
+
+    def test_kv_block_size(self):
+        assert ta._kv_block_size(128) == 64
+        assert ta._kv_block_size(96) == 32
+        assert ta._kv_block_size(72) == 8
+        assert ta._kv_block_size(80) == 16
+
+
+from video_diffusion_nnx_tpu.ops import cross_attention as xa
+
+
+@pytest.fixture(autouse=True)
+def force_xa_interpret():
+    xa.FORCE_INTERPRET = True
+    yield
+    xa.FORCE_INTERPRET = False
+
+
+class TestFusedCrossAttention:
+    """Rectangular (local-q x global-kv) kernel for the sequence-parallel
+    shard (VERDICT r2 task 3)."""
+
+    def _setup(self, c=16, heads=2, dim=8, b=1, s=4, f_l=8, f_g=32, seed=0):
+        k = jax.random.PRNGKey(seed)
+        ks = jax.random.split(k, 6)
+        x = jax.random.normal(ks[0], (b, s, f_l, c))
+        kk = jax.random.normal(ks[1], (b, s, f_g, heads * dim))
+        vv = jax.random.normal(ks[2], (b, s, f_g, heads * dim))
+        wq = jax.random.normal(ks[3], (c, heads * dim)) * 0.2
+        bq = jax.random.normal(ks[4], (heads * dim,)) * 0.1
+        wo = jax.random.normal(ks[5], (heads * dim, c)) * 0.2
+        bo = jnp.zeros((c,))
+        return x, kk, vv, wq, bq, wo, bo, heads, dim
+
+    def test_rectangular_matches_composite(self):
+        args = self._setup()
+        got = xa.fused_cross_attention_block(*args)
+        want = xa._composite(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+    def test_ragged_global_frames(self):
+        """f_g not a multiple of 8: gathered panels padded + masked."""
+        args = self._setup(f_l=4, f_g=21)
+        got = xa.fused_cross_attention_block(*args)
+        want = xa._composite(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+    def test_self_attention_equivalence(self):
+        """With f_l == f_g and K/V projected from x with an MHA's weights,
+        the cross kernel equals the fused self-attention block."""
+        heads, dim, c = 2, 8, 16
+        mha = MultiheadAttention(in_features=c, dim=dim, num_heads=heads, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, c))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        hd = heads * dim
+        kv = jnp.einsum("bsfc,ck->bsfk", x, wqkv[:, hd:]) + bqkv[hd:]
+        k, v = kv[..., :hd], kv[..., hd:]
+        got = xa.fused_cross_attention_block(
+            x, k, v, wqkv[:, :hd], bqkv[:hd], wo, bo, heads, dim
+        )
+        want = x + mha(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+    def test_gradients_all_args(self):
+        args = self._setup(s=8)  # several grid programs
+        x, kk, vv, wq, bq, wo, bo, heads, dim = args
+
+        def grads(fn):
+            def f(x, kk, vv, wq, bq, wo, bo):
+                return jnp.sum(fn(x, kk, vv, wq, bq, wo, bo, heads, dim) ** 2)
+
+            return jax.grad(f, argnums=tuple(range(7)))(x, kk, vv, wq, bq, wo, bo)
+
+        got = grads(xa.fused_cross_attention_block)
+        want = grads(xa._composite)
+        names = ("dx", "dk", "dv", "dwq", "dbq", "dwo", "dbo")
+        for name, g_f, g_r in zip(names, got, want):
+            np.testing.assert_allclose(
+                np.asarray(g_f), np.asarray(g_r), rtol=2e-4, atol=2e-4, err_msg=name
+            )
+
+    def test_bf16(self):
+        x, kk, vv, wq, bq, wo, bo, heads, dim = self._setup()
+        xb = x.astype(jnp.bfloat16)
+        kb_, vb = kk.astype(jnp.bfloat16), vv.astype(jnp.bfloat16)
+        got = xa.fused_cross_attention_block(xb, kb_, vb, wq, bq, wo, bo, heads, dim)
+        assert got.dtype == jnp.bfloat16
+        want = xa._composite(xb, kb_, vb, wq, bq, wo, bo, heads, dim)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05
         )
 
 

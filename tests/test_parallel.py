@@ -140,6 +140,36 @@ class TestSequenceParallelAttention:
         want = x + mha(x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
+    def test_pallas_kernel_inside_shard(self):
+        """The per-shard attention runs through the fused rectangular Pallas
+        kernel (interpret mode) inside shard_map on 8 devices and still
+        matches the single-device reference (VERDICT r2 task 3)."""
+        from flax import nnx
+
+        from video_diffusion_nnx_tpu.models import MultiheadAttention
+        from video_diffusion_nnx_tpu.ops import cross_attention as xa
+        from video_diffusion_nnx_tpu.ops.temporal_attention import pack_mha_weights
+        from video_diffusion_nnx_tpu.parallel.sequence import (
+            sequence_parallel_temporal_attention,
+        )
+
+        heads, dim, c = 2, 4, 8
+        mha = MultiheadAttention(in_features=c, dim=dim, num_heads=heads, rngs=nnx.Rngs(0))
+        wqkv, bqkv, wo, bo = pack_mha_weights(mha)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, c))
+
+        mesh = make_mesh((8,), ("seq",))
+        xa.FORCE_INTERPRET = True
+        try:
+            assert xa._route(x[:, :, :2], x) == "pallas"
+            got = sequence_parallel_temporal_attention(
+                x, wqkv, bqkv, wo, bo, heads, dim, mesh=mesh
+            )
+        finally:
+            xa.FORCE_INTERPRET = False
+        want = x + mha(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
     def test_jit_with_sharded_input(self):
         from flax import nnx
 
