@@ -71,9 +71,10 @@ def main() -> None:
     args = parse_args()
 
     from video_diffusion_nnx_tpu.config import load_config
-    from video_diffusion_nnx_tpu.utils import load_checkpoint
+    from video_diffusion_nnx_tpu.utils import enable_compilation_cache, load_checkpoint
 
     config = load_config(args.config)
+    enable_compilation_cache(config["trainer"].get("compilation_cache_dir"))
     model = build_model(config)
     try:
         model, _ = load_checkpoint(

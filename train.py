@@ -62,6 +62,9 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
         log_every_steps=trainer_cfg["log_every_steps"],
         sequence_parallel_size=trainer_cfg["sequence_parallel_size"],
         async_checkpointing=trainer_cfg["async_checkpointing"],
+        prefetch_depth=trainer_cfg["prefetch_depth"],
+        fsdp_min_size_to_shard=trainer_cfg["fsdp_min_size_to_shard"],
+        null_cond_prob=trainer_cfg["null_cond_prob"],
     )
     return unet_model, diffusion_model, trainer
 
@@ -83,6 +86,13 @@ def main():
 
     logging.info("Loading configuration from: %s", args.config)
     config = load_config(args.config)
+
+    # Persistent XLA compilation cache: the 1-5 min remote compiles are paid
+    # once per (shape, config), not once per process start.
+    from video_diffusion_nnx_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache(config["trainer"].get("compilation_cache_dir"))
+
     _, _, trainer = build_from_config(config, resume_step=args.resume_step, rng_seed=args.rng_seed)
 
     logging.info("Starting training...")

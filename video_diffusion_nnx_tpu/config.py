@@ -1,18 +1,28 @@
-"""YAML config loading with defaults-merging.
+"""YAML config loading with defaults-merging and unknown-key warnings.
 
 The reference consumes three-section YAML (``unet:``, ``diffusion:``,
 ``trainer:``) but hard-indexes several trainer keys that only its newest
 config file defines (reference train.py:106-111) — so four of its six
 shipped configs crash with KeyError. Here every key falls back to the
 Trainer/Unet3D constructor default, so all reference configs run unchanged.
+
+Every constructor knob of Unet3D (reference unet3d.py:58-75) and
+GaussianDiffusion (reference gaussian_diffusion.py:53-65) is YAML-exposed —
+the reference's train.py silently dropped keys its narrow plumbing didn't
+know (e.g. ``attn_heads``); here an unrecognized key is loudly warned about
+instead of silently eaten, and every recognized key actually reaches the
+constructor.
 """
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Any
 
 import yaml
+
+logger = logging.getLogger(__name__)
 
 # Trainer-section defaults (matching Trainer.__init__ and reference train.py
 # expectations). Keys absent here pass through verbatim.
@@ -51,14 +61,37 @@ _TRAINER_DEFAULTS: dict[str, Any] = {
     "log_every_steps": 1,
     "sequence_parallel_size": 1,
     "async_checkpointing": False,
+    # "" -> shared per-user default (~/.cache/video_diffusion_nnx_tpu/xla).
+    "compilation_cache_dir": "",
+    "prefetch_depth": 2,
+    "fsdp_min_size_to_shard": 2**14,
+    # CFG conditioning dropout during training (0 = reference parity).
+    "null_cond_prob": 0.0,
 }
 
+# Trainer keys that are legitimate in YAML but have no constructor default
+# here (required, or consumed by the CLI rather than Trainer.__init__).
+_TRAINER_EXTRA_KEYS = {"dataset_path", "rng_seed"}
+
+# Mirrors the full Unet3D constructor surface (reference unet3d.py:58-75)
+# minus runtime-only args (rngs object, sequence_parallel_mesh — derived
+# from the trainer's sequence_parallel_size).
 _UNET_DEFAULTS: dict[str, Any] = {
     "dim": 32,
     "rngs_seed": 0,
     "dim_mults": [1, 2, 4, 8],
+    "cond_dim": None,
+    "out_dim": None,
     "channels": 1,
+    "attn_heads": 8,
+    "attn_dim_head": 32,
     "use_bert_text_cond": False,
+    "init_dim": None,
+    "init_kernel_size": 7,
+    "use_sparse_linear_attn": True,
+    "block_type": "resnet",
+    "resnet_groups": 8,
+    "log_dims": False,
     "reference_compat": True,
     "compute_dtype": None,
     "use_fused_attention": False,
@@ -66,19 +99,49 @@ _UNET_DEFAULTS: dict[str, Any] = {
     "remat_blocks": False,
 }
 
+# Mirrors the full GaussianDiffusion constructor surface (reference
+# gaussian_diffusion.py:53-65).
 _DIFFUSION_DEFAULTS: dict[str, Any] = {
     "image_size": 64,
     "num_frames": 16,
     "timesteps": 1000,
     "loss_type": "l1",
     "channels": 3,
+    "text_use_bert_cls": False,
+    "use_dynamic_thres": False,
+    "dynamic_thres_percentile": 0.9,
 }
 
 
+def _warn_unknown(section: str, given: dict[str, Any], known: set[str]) -> None:
+    unknown = sorted(set(given) - known)
+    if unknown:
+        logger.warning(
+            "config section '%s' has unrecognized key(s) %s — they are "
+            "IGNORED. Known keys: %s",
+            section, unknown, sorted(known),
+        )
+
+
 def load_config(path: str | Path) -> dict[str, Any]:
-    """Load a config file and merge each section over its defaults."""
+    """Load a config file and merge each section over its defaults.
+
+    Unrecognized keys in any section are warned about (not silently
+    dropped, and not an error — reference configs stay runnable even if a
+    user carries stray keys).
+    """
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
+    _warn_unknown("unet", raw.get("unet", {}), set(_UNET_DEFAULTS))
+    _warn_unknown("diffusion", raw.get("diffusion", {}), set(_DIFFUSION_DEFAULTS))
+    _warn_unknown(
+        "trainer", raw.get("trainer", {}), set(_TRAINER_DEFAULTS) | _TRAINER_EXTRA_KEYS
+    )
+    _warn_unknown(
+        "<top level>",
+        {k: v for k, v in raw.items() if not isinstance(v, dict)},
+        {"rng_seed"},
+    )
     cfg = dict(raw)
     cfg["unet"] = {**_UNET_DEFAULTS, **raw.get("unet", {})}
     cfg["diffusion"] = {**_DIFFUSION_DEFAULTS, **raw.get("diffusion", {})}
@@ -93,7 +156,8 @@ def build_models(config: dict[str, Any]):
     constructors — train.py, sample.py, and scripts all build through here,
     so a new config knob cannot silently diverge between the CLIs (a
     checkpointed model must be rebuilt with the exact architecture flags it
-    was trained with).
+    was trained with). Every key in ``_UNET_DEFAULTS``/``_DIFFUSION_DEFAULTS``
+    reaches its constructor.
     """
     from flax import nnx
 
@@ -102,24 +166,12 @@ def build_models(config: dict[str, Any]):
 
     u = {**_UNET_DEFAULTS, **config.get("unet", {})}
     d = {**_DIFFUSION_DEFAULTS, **config.get("diffusion", {})}
-    unet = Unet3D(
-        dim=u["dim"],
-        rngs=nnx.Rngs(u["rngs_seed"]),
-        dim_mults=tuple(u["dim_mults"]),
-        channels=u["channels"],
-        use_bert_text_cond=u["use_bert_text_cond"],
-        reference_compat=u["reference_compat"],
-        compute_dtype=u["compute_dtype"],
-        use_fused_attention=u["use_fused_attention"],
-        use_fused_spatial_attention=u["use_fused_spatial_attention"],
-        remat_blocks=u["remat_blocks"],
-    )
-    diffusion = GaussianDiffusion(
-        denoise_fn=unet,
-        image_size=d["image_size"],
-        num_frames=d["num_frames"],
-        timesteps=d["timesteps"],
-        loss_type=d["loss_type"],
-        channels=d["channels"],
-    )
+    _warn_unknown("unet", u, set(_UNET_DEFAULTS))
+    _warn_unknown("diffusion", d, set(_DIFFUSION_DEFAULTS))
+
+    unet_kwargs = {k: u[k] for k in _UNET_DEFAULTS if k != "rngs_seed"}
+    unet_kwargs["dim_mults"] = tuple(u["dim_mults"])
+    unet = Unet3D(rngs=nnx.Rngs(u["rngs_seed"]), **unet_kwargs)
+
+    diffusion = GaussianDiffusion(denoise_fn=unet, **{k: d[k] for k in _DIFFUSION_DEFAULTS})
     return unet, diffusion

@@ -45,6 +45,7 @@ from video_diffusion_nnx_tpu.utils.checkpoint import (
     save_checkpoint,
     save_opt_state,
 )
+from video_diffusion_nnx_tpu.utils.compile_cache import enable_compilation_cache
 
 
 def __getattr__(name):
@@ -68,6 +69,7 @@ __all__ = [
     "cosine_beta_schedule",
     "cycle",
     "default",
+    "enable_compilation_cache",
     "exists",
     "extract",
     "get_text_from_path",
