@@ -58,10 +58,15 @@ def main() -> None:
 
     config = load_config(args.config)
     model = build_model(config)
-    model, _ = load_checkpoint(
-        model, args.step, str(Path(args.checkpoint_path).resolve()),
-        load_ema_params=args.load_ema_params,
-    )
+    try:
+        model, _ = load_checkpoint(
+            model, args.step, str(Path(args.checkpoint_path).resolve()),
+            load_ema_params=args.load_ema_params,
+        )
+    except FileNotFoundError as e:
+        # Same clean exit sample.py uses (which lists the available steps)
+        # instead of a raw Orbax traceback.
+        raise SystemExit(f"error: {e}") from None
 
     d = config["diffusion"]
     ds = MovingMNIST(

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import logging
 from collections import OrderedDict
-from functools import partial
 from typing import Any
 
 import jax
@@ -464,34 +463,45 @@ class GaussianDiffusion(nnx.Module):
         the same on-device scan as sampling.
         """
         batch_size = x1.shape[0]
-        t = t if exists(t) else self.num_timesteps - 1
+        t = int(t) if exists(t) else self.num_timesteps - 1
+        lam = float(lam)
         assert x1.shape == x2.shape, "inputs must have the same shape"
         assert 0.0 <= lam <= 1.0, "lambda must be in [0, 1]"
 
         graphdef, state = nnx.split(self)
 
-        @partial(jax.jit, static_argnums=(4, 5))
-        def run(state, x1, x2, key, t_static, lam_static):
-            model = nnx.merge(graphdef, state)
-            t_batched = jnp.full((batch_size,), t_static, jnp.int32)
-            key, k1, k2 = jax.random.split(key, 3)
-            xt1 = model.q_sample(x1, t=t_batched, key=k1)
-            xt2 = model.q_sample(x2, t=t_batched, key=k2)
-            img = (1 - lam_static) * xt1 + lam_static * xt2
+        # Each (t, lam, shape) pair is its own compiled program (t fixes the
+        # scan length; lam is folded in as a constant) — cached in the same
+        # bounded LRU as the samplers so sweeping lambda cannot accumulate
+        # unbounded executables.
+        cache_key = ("interpolate", graphdef, x1.shape, t, lam)
+        run = _cache_get(cache_key)
+        if run is None:
 
-            def body(carry, i):
-                img, key = carry
-                key, step_key = jax.random.split(key)
-                cur_t = jnp.full((batch_size,), i, jnp.int32)
-                img = model.p_sample(img, cur_t, key=step_key)
-                return (img, key), None
+            @jax.jit
+            def run(state, x1, x2, key):
+                model = nnx.merge(graphdef, state)
+                t_batched = jnp.full((batch_size,), t, jnp.int32)
+                key, k1, k2 = jax.random.split(key, 3)
+                xt1 = model.q_sample(x1, t=t_batched, key=k1)
+                xt2 = model.q_sample(x2, t=t_batched, key=k2)
+                img = (1 - lam) * xt1 + lam * xt2
 
-            (img, _), _ = jax.lax.scan(
-                body, (img, key), jnp.arange(t_static - 1, -1, -1)
-            )
-            return img
+                def body(carry, i):
+                    img, key = carry
+                    key, step_key = jax.random.split(key)
+                    cur_t = jnp.full((batch_size,), i, jnp.int32)
+                    img = model.p_sample(img, cur_t, key=step_key)
+                    return (img, key), None
 
-        return run(state, x1, x2, key, int(t), float(lam))
+                (img, _), _ = jax.lax.scan(
+                    body, (img, key), jnp.arange(t - 1, -1, -1)
+                )
+                return img
+
+            _cache_put(cache_key, run)
+
+        return run(state, x1, x2, key)
 
     # ------------------------------------------------------------------ #
     # Training                                                            #
@@ -522,7 +532,12 @@ class GaussianDiffusion(nnx.Module):
                 bert_embed(tokenize(cond), return_cls_repr=self.text_use_bert_cls)
             )
 
-        eps_bfhwc = self.denoise_fn(x_noisy, t, cond=cond, **kwargs)
+        # The leftover ``key`` threads device-side randomness into the
+        # denoiser's CFG null-cond dropout / focus-present draws (the
+        # reference leaves those host-seeded, SURVEY §3.3 determinism hole);
+        # with both probabilities at 0 (every parity surface) the key is
+        # never consumed, so the reference PRNG chain is unchanged.
+        eps_bfhwc = self.denoise_fn(x_noisy, t, cond=cond, key=key, **kwargs)
         predicted_noise = rearrange(eps_bfhwc, "b f h w c -> b c f h w")
 
         if self.loss_type == "l1":

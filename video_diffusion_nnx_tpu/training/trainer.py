@@ -122,6 +122,7 @@ class Trainer:
         log_every_steps: int = 1,
         sequence_parallel_size: int = 1,
         async_checkpointing: bool = False,
+        null_cond_prob: float = 0.0,
     ):
         self.key = jax.random.PRNGKey(rng_seed)
         self.profile_flush_step = profile_flush_step
@@ -185,6 +186,13 @@ class Trainer:
         self.batch_size = train_batch_size
         self.max_grad_norm = max_grad_norm
         self.use_path_as_cond = use_path_as_cond
+        # Classifier-free-guidance conditioning dropout: fraction of batch
+        # rows whose text condition is swapped for the learned null
+        # embedding each step. The reference accepted text conditioning but
+        # never trained the null branch (its trainer threads no
+        # null_cond_prob, reference trainer.py:337-358), so its CFG
+        # sampling path could never be meaningfully used. Default 0 = parity.
+        self.null_cond_prob = null_cond_prob
         self.gradient_accumulate_every = gradient_accumulate_every
         self.enable_gradient_accumulation = (
             enable_gradient_accumulation and gradient_accumulate_every > 1
@@ -211,17 +219,25 @@ class Trainer:
             assert self.batch_size % self.n_devices == 0, (
                 "batch_size must be divisible by number of devices"
             )
-            if self.n_devices % num_model_shards != 0:
+            if self.n_devices < num_model_shards:
                 # e.g. config_v2_3 (num_model_shards: 2) on a single dev
                 # chip: clamp to a feasible degree instead of crashing so
                 # every shipped config runs anywhere (the reference asserts).
                 feasible = math.gcd(self.n_devices, num_model_shards)
                 logger.warning(
-                    "num_model_shards=%d does not divide the %d available "
-                    "device(s); clamping to %d",
+                    "num_model_shards=%d exceeds the %d available device(s); "
+                    "clamping to %d (single-host portability fallback)",
                     num_model_shards, self.n_devices, feasible,
                 )
                 num_model_shards = self.num_model_shards = feasible
+            else:
+                # On a real multi-device mesh a non-dividing shard count is a
+                # genuine misconfiguration (silently running a different
+                # topology, e.g. pure DP, would mask it) — fail loud.
+                assert self.n_devices % num_model_shards == 0, (
+                    f"num_model_shards={num_model_shards} does not divide "
+                    f"{self.n_devices} devices; pick a divisor"
+                )
             self.per_device_bs = self.batch_size // self.n_devices
             self.mesh = data_model_mesh(self.n_devices, num_model_shards)
         logger.info(
@@ -434,6 +450,8 @@ class Trainer:
         max_grad_norm = self.max_grad_norm
         accum = self.gradient_accumulate_every if self.enable_gradient_accumulation else 1
 
+        null_cond_prob = self.null_cond_prob
+
         def loss_fn(params, batch_data, key):
             model = nnx.merge(graphdef, params)
             if use_path_as_cond:
@@ -442,6 +460,7 @@ class Trainer:
                     video_data,
                     key=key,
                     cond=cond_data,
+                    null_cond_prob=null_cond_prob,
                     prob_focus_present=prob_focus_present,
                     focus_present_mask=None,
                 )
@@ -655,9 +674,22 @@ class Trainer:
         """Periodic save. With ``async_checkpointing`` the Orbax finalize runs
         in its background thread and the train loop continues immediately;
         the final save (``wait=True``) blocks so every enqueued checkpoint is
-        durable when ``train()`` returns."""
+        durable when ``train()`` returns.
+
+        A *periodic* save failure is logged and training continues (the next
+        cadence retries); a failed **final** blocking save re-raises so
+        callers never see train() succeed without a durable terminal
+        checkpoint (e.g. async background write hitting a full disk).
+        """
+        final = wait is True
         if wait is None:
             wait = not self.async_checkpointing
+        if self.step in (self.ckpt_manager.all_steps() or []):
+            # Resuming at (or re-reaching) an already-saved step: Orbax
+            # refuses to overwrite a finalized step directory, and the state
+            # is the one that was saved there — nothing to do.
+            logger.info("Checkpoint for step %d already exists; skipping save", self.step)
+            return
         try:
             state_to_save = jax.device_get(self.state)
             save_checkpoint(
@@ -670,6 +702,8 @@ class Trainer:
                 )
         except Exception as e:
             logger.error("Error saving checkpoint at step %d: %s", self.step, e)
+            if final:
+                raise
 
     # ------------------------------------------------------------------ #
     # Sampling from the trained model                                      #
@@ -694,12 +728,15 @@ class Trainer:
 
         The reference's version was a warning stub returning zeros
         (trainer.py:492-506); this one actually samples via the on-device
-        scan sampler.
+        scan sampler. The parameters are merged ON DEVICE — no
+        ``jax.device_get`` round trip of the tree (for the dim-128 model that
+        is a multi-hundred-MB HBM->host->HBM copy mid-training); the sampler
+        jit reshards them from the training layout directly over ICI.
         """
         if key is None:
             self.key, key = jax.random.split(self.key)
         params = self.state.ema_params if use_ema else self.state.params
-        model = nnx.merge(self.graphdef, jax.device_get(params))
+        model = nnx.merge(self.graphdef, params)
         cond = [self.sample_text] * batch_size if self.sample_text else None
         return model.sample(
             key, cond=cond, cond_scale=self.cond_scale if cond else 1.0, batch_size=batch_size
