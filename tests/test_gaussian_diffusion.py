@@ -265,6 +265,20 @@ class TestInterpolate:
         with pytest.raises(AssertionError):
             diffusion.interpolate(x, x, key=jax.random.PRNGKey(0), lam=1.5)
 
+    def test_interpolate_compiles_once_per_t_lam(self, diffusion):
+        """Repeat calls at the same (t, lam) reuse the cached executable —
+        and the cache is the bounded LRU, so a lambda sweep cannot
+        accumulate unbounded compiled programs (VERDICT r2 weak #8)."""
+        from video_diffusion_nnx_tpu.diffusion import gaussian_diffusion as gd
+
+        x1, x2 = jnp.zeros(SHAPE), jnp.ones(SHAPE)
+        diffusion.interpolate(x1, x2, key=jax.random.PRNGKey(0), t=3, lam=0.5)
+        n_before = len(gd._SAMPLE_SCAN_CACHE)
+        diffusion.interpolate(x1, x2, key=jax.random.PRNGKey(1), t=3, lam=0.5)
+        assert len(gd._SAMPLE_SCAN_CACHE) == n_before  # cache hit, no new entry
+        diffusion.interpolate(x1, x2, key=jax.random.PRNGKey(2), t=3, lam=0.25)
+        assert len(gd._SAMPLE_SCAN_CACHE) <= gd._SAMPLE_SCAN_CACHE_MAX
+
 
 class TestDDIM:
     def test_ddim_shape_and_finite(self, diffusion):
