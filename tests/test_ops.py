@@ -243,7 +243,7 @@ class TestBlockwiseTemporalAttention:
         )
 
     def test_kv_block_size(self):
-        assert ta._kv_block_size(128) == 64
+        assert ta._kv_block_size(128) == ta.KV_BLOCK_CAP
         assert ta._kv_block_size(96) == 32
         assert ta._kv_block_size(72) == 8
         assert ta._kv_block_size(80) == 16
@@ -335,6 +335,18 @@ class TestFusedCrossAttention:
 
 
 class TestUnetFusedPath:
+    def test_unet_long_clip_routes_blockwise(self):
+        """A 72-frame Unet3D forward routes every temporal block through the
+        blockwise kernels (interpret mode) and matches the composite path."""
+        kwargs = dict(dim=8, dim_mults=(1,), channels=1, attn_heads=2)
+        base = Unet3D(rngs=nnx.Rngs(0), **kwargs)
+        fused = Unet3D(rngs=nnx.Rngs(0), use_fused_attention=True, **kwargs)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 72, 8, 8))
+        t = jnp.array([3.0])
+        np.testing.assert_allclose(
+            np.asarray(base(x, t)), np.asarray(fused(x, t)), atol=1e-4
+        )
+
     def test_unet_fused_matches_composite(self):
         """Whole-model forward with the fused path == composite path."""
         kwargs = dict(dim=16, dim_mults=(1, 2), channels=1, attn_heads=2)

@@ -50,9 +50,14 @@ def _pad8(n: int) -> int:
     return max(8, -(-n // 8) * 8)
 
 
+# See temporal_attention.KV_BLOCK_CAP — 128 keeps the attention matmuls at
+# a full MXU N-tile.
+KV_BLOCK_CAP = 128
+
+
 def _kv_block(f_pad: int) -> int:
     kb = 8
-    while kb * 2 <= 64 and f_pad % (kb * 2) == 0:
+    while kb * 2 <= KV_BLOCK_CAP and f_pad % (kb * 2) == 0:
         kb *= 2
     return kb
 

@@ -288,11 +288,17 @@ _ENVELOPE_BLOCKWISE_FWD = 2048
 _ENVELOPE_BLOCKWISE_BWD = 1024
 
 
+# KV block width cap. 128 = one full MXU N-tile per attention matmul and
+# a single block (no online-rescale traffic) at f = 128, at the cost of a
+# (bt, f, 128) f32 score panel per step.
+KV_BLOCK_CAP = 128
+
+
 def _kv_block_size(f_pad: int) -> int:
-    """Largest ``8 * 2**k <= 64`` dividing ``f_pad`` (f_pad is a multiple
-    of 8, so at worst KB = 8)."""
+    """Largest ``8 * 2**k <= KV_BLOCK_CAP`` dividing ``f_pad`` (f_pad is a
+    multiple of 8, so at worst KB = 8)."""
     kb = 8
-    while kb * 2 <= 64 and f_pad % (kb * 2) == 0:
+    while kb * 2 <= KV_BLOCK_CAP and f_pad % (kb * 2) == 0:
         kb *= 2
     return kb
 
