@@ -165,6 +165,55 @@ def main() -> None:
     # utilization matters; the dim-32 recipe is HBM-bound (VERDICT r2 weak #1).
     train128_s, train128_flops, train128_bytes = train_bench(fused=True, dim=128)
 
+    # Long-clip (128-frame) train step: the blockwise (flash-style) temporal
+    # kernels vs the XLA composite, which materializes the f x f attention
+    # panels in HBM. Guarded: a failure here must not cost the headline
+    # metric.
+    def train_bench_long(fused: bool):
+        lc_batch, lc_frames, lc_size = 1, 128, 32
+        unet = Unet3D(
+            dim=32, rngs=nnx.Rngs(0), dim_mults=(1, 2, 4, 8), channels=channels,
+            compute_dtype="bfloat16", use_fused_attention=fused,
+            use_fused_spatial_attention=fused, remat_blocks=True,
+        )
+        diff = GaussianDiffusion(
+            unet, image_size=lc_size, num_frames=lc_frames, channels=channels,
+            timesteps=1000, loss_type="l2",
+        )
+        graphdef, params = nnx.split(diff)
+        tx = optax.adam(1e-4)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, x, key):
+            def loss_fn(p):
+                return nnx.merge(graphdef, p)(x, key=key)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt, loss
+
+        x = jnp.zeros((lc_batch, channels, lc_frames, lc_size, lc_size), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        params, opt, loss = step(params, opt, x, key)
+        float(loss)
+        n = 5
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, opt, loss = step(params, opt, x, key)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n
+        tag = "fused" if fused else "composite"
+        print(f"[train 128f 32x32 b1 bf16 {tag}] {dt*1000:.1f} ms/step", file=sys.stderr)
+        return dt
+
+    long_fused_ms = long_comp_ms = None
+    try:
+        long_fused_ms = round(train_bench_long(fused=True) * 1000, 1)
+        long_comp_ms = round(train_bench_long(fused=False) * 1000, 1)
+    except Exception as e:
+        print(f"[train 128f] long-clip bench skipped: {e}", file=sys.stderr)
+
     elapsed = min(fused_s, f32_s)
     n_chips = jax.device_count()
     # The train bench is an UNSHARDED jit: it runs on one chip regardless of
@@ -206,6 +255,9 @@ def main() -> None:
         "devices": n_chips,
         "compile_s": round(fused_warm - fused_s, 2),
     }
+    if long_fused_ms is not None:
+        result["train_step_128f_fused_ms"] = long_fused_ms
+        result["train_step_128f_composite_ms"] = long_comp_ms
     print(json.dumps(result))
 
 
