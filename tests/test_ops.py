@@ -242,6 +242,43 @@ class TestBlockwiseTemporalAttention:
             rtol=0.1, atol=0.25,
         )
 
+    @pytest.mark.parametrize("f", [8, 72])
+    def test_biased_kernel_matches_composite(self, f):
+        """The biased (fixed-math rel-pos) kernel variants — dense at f=8,
+        blockwise at f=72 — match the composite with the same bias, forward
+        and all gradients including dbias."""
+        heads, dim, c = 2, 8, 16
+        mha = MultiheadAttention(in_features=c, dim=dim, num_heads=heads, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, f, c))
+        wqkv, bqkv, wo, bo = ta.pack_mha_weights(mha)
+        bias = jax.random.normal(jax.random.PRNGKey(7), (heads, f, f)) * 0.5
+
+        got = ta.fused_temporal_attention_block_biased(
+            x, wqkv, bqkv, wo, bo, bias, heads, dim
+        )
+        want = ta._composite_xla(x, wqkv, bqkv, wo, bo, heads, dim, pos_bias=bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+        def grads(fn):
+            def f_(x, wqkv, bqkv, wo, bo, bias):
+                return jnp.sum(fn(x, wqkv, bqkv, wo, bo, bias) ** 2)
+
+            return jax.grad(f_, argnums=tuple(range(6)))(x, wqkv, bqkv, wo, bo, bias)
+
+        got_g = grads(
+            lambda *a: ta.fused_temporal_attention_block_biased(*a, heads, dim)
+        )
+        want_g = grads(
+            lambda x, wqkv, bqkv, wo, bo, bias: ta._composite_xla(
+                x, wqkv, bqkv, wo, bo, heads, dim, pos_bias=bias
+            )
+        )
+        names = ("dx", "dwqkv", "dbqkv", "dwo", "dbo", "dbias")
+        for name, a, b in zip(names, got_g, want_g):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=(name, f)
+            )
+
     def test_kv_block_size(self):
         assert ta._kv_block_size(128) == ta.KV_BLOCK_CAP
         assert ta._kv_block_size(96) == 32
@@ -358,12 +395,67 @@ class TestUnetFusedPath:
         b = np.asarray(fused(x, t))
         np.testing.assert_allclose(a, b, atol=5e-5)
 
-    def test_fused_requires_compat_mode(self):
+    def test_unet_fixed_mode_fused_matches_composite(self):
+        """FIXED-math mode (pre-norm applied, rel-pos bias on the logits)
+        runs fused too: LayerNorm in XLA + biased kernels + residual swap.
+        Whole-model forward must match the unfused fixed-math chain."""
+        kwargs = dict(
+            dim=16, dim_mults=(1, 2), channels=1, attn_heads=2, reference_compat=False
+        )
+        base = Unet3D(rngs=nnx.Rngs(0), **kwargs)
+        fused = Unet3D(
+            rngs=nnx.Rngs(0), use_fused_attention=True,
+            use_fused_spatial_attention=True, **kwargs,
+        )
+        assert fused.use_fused_attention is True
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 16, 16))
+        t = jnp.array([3.0])
+        np.testing.assert_allclose(
+            np.asarray(base(x, t)), np.asarray(fused(x, t)), atol=1e-4
+        )
+
+    def test_unet_fixed_mode_fused_gradients_match(self):
+        """Fixed-mode gradients through the fused path (biased temporal
+        kernel backward incl. the rel-pos-bias table grad) == composite."""
+        kwargs = dict(
+            dim=16, dim_mults=(1,), channels=1, attn_heads=2, reference_compat=False
+        )
+        base = Unet3D(rngs=nnx.Rngs(0), **kwargs)
+        fused = Unet3D(
+            rngs=nnx.Rngs(0), use_fused_attention=True,
+            use_fused_spatial_attention=True, **kwargs,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 8, 8))
+        t = jnp.array([3.0])
+
+        def loss(model):
+            graphdef, params = nnx.split(model)
+
+            def f(p):
+                return jnp.sum(nnx.merge(graphdef, p)(x, t) ** 2)
+
+            return jax.grad(f)(params)
+
+        g_base = loss(base)
+        g_fused = loss(fused)
+        flat_b = jax.tree_util.tree_leaves(g_base)
+        flat_f = jax.tree_util.tree_leaves(g_fused)
+        for a, b in zip(flat_f, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+            )
+
+    def test_fixed_mode_with_focus_prob_falls_back(self):
+        """A live focus-present probability disables the fused fixed path
+        (the kernels don't implement the mask) and still computes."""
         net = Unet3D(
-            dim=16, rngs=nnx.Rngs(0), dim_mults=(1,), channels=1,
+            dim=16, rngs=nnx.Rngs(0), dim_mults=(1,), channels=1, attn_heads=2,
             reference_compat=False, use_fused_attention=True,
         )
-        assert net.use_fused_attention is False
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4, 8, 8))
+        t = jnp.array([3.0, 1.0])
+        out = net(x, t, prob_focus_present=0.5, key=jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out)).all()
 
 
 from video_diffusion_nnx_tpu.models import SpatialLinearAttention

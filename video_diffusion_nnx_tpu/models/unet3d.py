@@ -108,15 +108,19 @@ class Unet3D(nnx.Module):
             compute_dtype = jnp.dtype(compute_dtype)
         self.compute_dtype = compute_dtype
         # Route temporal attention through the fused Pallas kernel (VMEM-
-        # resident QKV+attention+out-proj+residual). Only valid in
-        # reference-compat mode, where PreNorm is a no-op wrapper.
-        self.use_fused_attention = use_fused_attention and reference_compat
+        # resident QKV+attention+out-proj+residual). Covers BOTH modes:
+        # reference-compat (PreNorm is a no-op wrapper, chain = x + MHA(x))
+        # and fixed math (chain = x + MHA(LN(x), pos_bias) — the LayerNorm
+        # runs in XLA, the rel-pos bias is added to the logits in-kernel via
+        # the biased kernel variant, and the residual uses the identity
+        # x + (fused(xn) - xn) since the kernels fold their own residual).
+        self.use_fused_attention = use_fused_attention
         # The fused spatial-linear-attention kernel is opt-in separately.
         # It computes in the input dtype (native MXU bf16 rate) and has a
         # fused Pallas backward; measured on one v5e chip at the v2_2 train
         # shape it beats the bf16 composite at every level, fwd and fwd+bwd
         # (L0: 4.0 vs 6.0 ms fwd, 5.9 vs 10.6 ms fwd+bwd).
-        self.use_fused_spatial_attention = use_fused_spatial_attention and reference_compat
+        self.use_fused_spatial_attention = use_fused_spatial_attention
         # Rematerialize ResnetBlock activations in the backward pass: trades
         # ~30% more forward FLOPs for O(levels) less activation memory —
         # the enabler for 32-frame/128x128-scale training on one chip.
@@ -345,14 +349,19 @@ class Unet3D(nnx.Module):
             return _remat_resnet(block, x, t)
         return block(x, t)
 
-    def _temporal(self, block, x, pos_bias, focus_present_mask):
+    def _temporal(self, block, x, pos_bias, focus_present_mask, static_no_focus=False):
         """Apply a temporal-attention block, fused when enabled.
 
         In reference-compat mode the wrapper chain
         Residual(PreNorm(EinopsToAndFrom(MHA))) reduces to
         ``x + MHA(rearrange(x))`` (PreNorm drops the norm and the kwargs),
         which is exactly what the fused Pallas kernel computes in one
-        VMEM-resident pass.
+        VMEM-resident pass. In FIXED mode the chain is
+        ``x + MHA(LN(x), pos_bias, mask)``: the LayerNorm runs in XLA, the
+        rel-pos bias rides the biased kernel variant, and the fused path is
+        taken only when the focus mask is STATICALLY inactive
+        (``static_no_focus`` — a traced mask would need in-kernel masking
+        the kernels don't implement; the composite chain handles it).
         """
         if self.sequence_parallel_mesh is not None and not isinstance(block, Identity):
             from video_diffusion_nnx_tpu.ops.temporal_attention import pack_mha_weights
@@ -371,9 +380,13 @@ class Unet3D(nnx.Module):
                 batch_axis="data" if "data" in mesh.axis_names else None,
             )
             return y.transpose(0, 2, 1, 3).reshape(b, f, h, w, c)
-        if self.use_fused_attention and not isinstance(block, Identity):
+        fused_ok = self.use_fused_attention and not isinstance(block, Identity) and (
+            self.reference_compat or static_no_focus
+        )
+        if fused_ok:
             from video_diffusion_nnx_tpu.ops.temporal_attention import (
                 fused_temporal_attention_block,
+                fused_temporal_attention_block_biased,
                 pack_mha_weights,
             )
 
@@ -382,16 +395,56 @@ class Unet3D(nnx.Module):
             x_r = x.reshape(b, f, h * w, c).transpose(0, 2, 1, 3)  # (b, hw, f, c)
             wqkv, bqkv, wo, bo = pack_mha_weights(mha)
             heads = mha.q.kernel[...].shape[1]
-            y = fused_temporal_attention_block(x_r, wqkv, bqkv, wo, bo, heads, mha.dim)
+            if self.reference_compat:
+                y = fused_temporal_attention_block(x_r, wqkv, bqkv, wo, bo, heads, mha.dim)
+            else:
+                xn = block.fn.norm(x_r)
+                z = fused_temporal_attention_block_biased(
+                    xn, wqkv, bqkv, wo, bo, pos_bias, heads, mha.dim
+                )
+                y = x_r + (z - xn)  # kernel folds xn's residual; swap in x's
             return y.transpose(0, 2, 1, 3).reshape(b, f, h, w, c)
         return block(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
+
+    def _mid_spatial(self, block, x):
+        """Bottleneck full spatial attention, fused when enabled.
+
+        ``EinopsToAndFrom('b f h w c', 'b f (h w) c', MHA)`` is attention
+        over the h*w axis with frames folded into batch — exactly the fused
+        temporal kernel's contract with hw as the attended axis, so the same
+        kernel serves it ((h*w) > 64 routes through the blockwise variant,
+        e.g. 128x128 inputs). No pos_bias/focus mask reach this block in
+        either mode (reference unet3d.py:316-334 passes none).
+        """
+        if self.use_fused_attention:
+            from video_diffusion_nnx_tpu.ops.temporal_attention import (
+                fused_temporal_attention_block,
+                pack_mha_weights,
+            )
+
+            mha = block.fn.fn.fn
+            b, f, h, w, c = x.shape
+            x_r = x.reshape(b, f, h * w, c)  # attend over h*w, batch (b, f)
+            wqkv, bqkv, wo, bo = pack_mha_weights(mha)
+            heads = mha.q.kernel[...].shape[1]
+            if self.reference_compat:
+                y = fused_temporal_attention_block(x_r, wqkv, bqkv, wo, bo, heads, mha.dim)
+            else:
+                xn = block.fn.norm(x_r)
+                z = fused_temporal_attention_block(xn, wqkv, bqkv, wo, bo, heads, mha.dim)
+                y = x_r + (z - xn)
+            return y.reshape(b, f, h, w, c)
+        return block(x)
 
     def _spatial(self, block, x):
         """Apply a spatial-linear-attention block, fused when enabled.
 
         Residual(PreNorm(SpatialLinearAttention)) in compat mode reduces to
         ``x + SLA(x)`` with the reference's dropped q scale — one
-        VMEM-resident Pallas program per frame.
+        VMEM-resident Pallas program per frame. In FIXED mode the chain is
+        ``x + SLA(LN(x))`` with the q scale applied: LayerNorm in XLA, then
+        the same kernel on the normalized input with the residual swapped
+        (``x + (fused(xn) - xn)``).
         """
         if self.use_fused_spatial_attention and not isinstance(block, Identity):
             from video_diffusion_nnx_tpu.ops.spatial_linear_attention import (
@@ -403,10 +456,15 @@ class Unet3D(nnx.Module):
             wqkv, wo = pack_sla_weights(sla)
             hd = wo.shape[0]
             dim = hd // sla.heads
-            scale = 1.0 if sla.reference_compat else sla.scale
-            return fused_spatial_linear_attention_block(
-                x, wqkv, wo, sla.heads, dim, scale
+            if self.reference_compat:
+                return fused_spatial_linear_attention_block(
+                    x, wqkv, wo, sla.heads, dim, 1.0
+                )
+            xn = block.fn.norm(x)
+            z = fused_spatial_linear_attention_block(
+                xn, wqkv, wo, sla.heads, dim, sla.scale
             )
+            return x + (z - xn)
         return block(x)
 
     def __call__(
@@ -436,6 +494,9 @@ class Unet3D(nnx.Module):
         mask_key = cfg_key = None
         if key is not None:
             mask_key, cfg_key = jax.random.split(key)
+        # Static (trace-time) knowledge that no focus masking can occur —
+        # what lets the fixed-math path take the fused kernels.
+        static_no_focus = focus_present_mask is None and prob_focus_present == 0.0
         focus_present_mask = default(
             focus_present_mask,
             lambda: prob_mask_like((x.shape[0],), prob_focus_present, key=mask_key),
@@ -444,7 +505,7 @@ class Unet3D(nnx.Module):
 
         x = rearrange(x, "b c f h w -> b f h w c")
         x = self.init_conv(x)
-        x = self._temporal(self.init_temporal_attn, x, time_rel_pos_bias, None)
+        x = self._temporal(self.init_temporal_attn, x, time_rel_pos_bias, None, static_no_focus=True)
         r = x
 
         t = self.time_mlp(time)
@@ -463,15 +524,21 @@ class Unet3D(nnx.Module):
             x = self._resnet(block1, x, t)
             x = self._resnet(block2, x, t)
             x = self._spatial(spatial_attn, x)
-            x = self._temporal(temporal_attn, x, time_rel_pos_bias, focus_present_mask)
+            x = self._temporal(
+                temporal_attn, x, time_rel_pos_bias, focus_present_mask,
+                static_no_focus=static_no_focus,
+            )
             h.append(x)
             self._log_shape("down pre-downsample", x)
             x = downsample(x)
 
         self._log_shape("mid input", x)
         x = self._resnet(self.mid_block1, x, t)
-        x = self.mid_spatial_attn(x)
-        x = self._temporal(self.mid_temporal_attn, x, time_rel_pos_bias, focus_present_mask)
+        x = self._mid_spatial(self.mid_spatial_attn, x)
+        x = self._temporal(
+            self.mid_temporal_attn, x, time_rel_pos_bias, focus_present_mask,
+            static_no_focus=static_no_focus,
+        )
         x = self._resnet(self.mid_block2, x, t)
 
         for i, (block1, block2, spatial_attn, temporal_attn, upsample) in enumerate(self.ups):
@@ -481,7 +548,10 @@ class Unet3D(nnx.Module):
             x = self._resnet(block1, x, t)
             x = self._resnet(block2, x, t)
             x = self._spatial(spatial_attn, x)
-            x = self._temporal(temporal_attn, x, time_rel_pos_bias, focus_present_mask)
+            x = self._temporal(
+                temporal_attn, x, time_rel_pos_bias, focus_present_mask,
+                static_no_focus=static_no_focus,
+            )
             x = upsample(x)
 
         x = jnp.concatenate((x, r), axis=-1)

@@ -73,7 +73,7 @@ _ENVELOPE_FWD = 2048
 _ENVELOPE_BWD = 2048
 
 
-def _head_attention(xf, wqkv_ref, bqkv_ref, h, bt, f, dim, scale, kv_len):
+def _head_attention(xf, wqkv_ref, bqkv_ref, h, bt, f, dim, scale, kv_len, bias_ref=None):
     """One head's q/k/v projection + softmax attention (shared fwd/bwd).
 
     Returns (q_scaled, k, v, attn): q/k/v in the input dtype (the per-head
@@ -97,6 +97,8 @@ def _head_attention(xf, wqkv_ref, bqkv_ref, h, bt, f, dim, scale, kv_len):
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (BT, F, F)
+    if bias_ref is not None:
+        sim = sim + bias_ref[h]
     if kv_len < f:
         col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
         sim = jnp.where(col >= kv_len, -1e9, sim)
@@ -106,7 +108,10 @@ def _head_attention(xf, wqkv_ref, bqkv_ref, h, bt, f, dim, scale, kv_len):
     return q, k, v, attn
 
 
-def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim, kv_len):
+def _fwd_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim, kv_len,
+    bias_ref=None,
+):
     """Forward: out = x + sum_h attn_h(x) @ Wo_h + bo, one token tile.
 
     Unlike the backward, the forward projects ALL heads in one packed
@@ -115,6 +120,10 @@ def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads,
     heads by *static* lane slicing (Python unroll). The resulting extra
     buffer liveness is why the forward envelope is tile-count-bound while the
     fori-loop backward can recompute head-by-head.
+
+    ``bias_ref`` (optional, ``(H, F, F)`` f32): additive pre-softmax logits
+    bias — the FIXED-math rel-pos-bias path (reference modules.py:320-321
+    adds it post-softmax, which compat callers never reach).
     """
     bt = x_ref.shape[0]
     c = x_ref.shape[-1]
@@ -139,6 +148,8 @@ def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (BT, F, F)
+        if bias_ref is not None:
+            sim = sim + bias_ref[h]
         if kv_len < f:
             col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
             sim = jnp.where(col >= kv_len, -1e9, sim)
@@ -165,12 +176,15 @@ def _bwd_kernel(
     x_ref, g_ref, wqkv_ref, bqkv_ref, wo_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
     *, f, heads, dim, kv_len,
+    bias_ref=None, dbias_ref=None,
 ):
     """Backward: recompute per-head attention on-chip, emit dx + weight grads.
 
     Weight-gradient refs use a constant block index map, so every grid
     program sees the same VMEM block; the TPU grid is sequential, so
-    zero-at-program-0 + accumulate is race-free.
+    zero-at-program-0 + accumulate is race-free. With ``bias_ref`` set
+    (fixed-math rel-pos bias), ``dbias_ref`` accumulates the pre-softmax
+    gradient summed over the token tile.
     """
     bt = x_ref.shape[0]
     c = x_ref.shape[-1]
@@ -187,11 +201,15 @@ def _bwd_kernel(
         dbqkv_ref[...] = jnp.zeros(dbqkv_ref.shape, dbqkv_ref.dtype)
         dwo_ref[...] = jnp.zeros(dwo_ref.shape, dwo_ref.dtype)
         dbo_ref[...] = jnp.zeros(dbo_ref.shape, dbo_ref.dtype)
+        if dbias_ref is not None:
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
 
     dbo_ref[...] = dbo_ref[...] + jnp.sum(gf32, axis=0, keepdims=True)
 
     def head_body(h, dxf):
-        q, k, v, attn = _head_attention(xf, wqkv_ref, bqkv_ref, h, bt, f, dim, scale, kv_len)
+        q, k, v, attn = _head_attention(
+            xf, wqkv_ref, bqkv_ref, h, bt, f, dim, scale, kv_len, bias_ref=bias_ref
+        )
         attn_c = attn.astype(x.dtype)
         oh = jax.lax.dot_general(
             attn_c, v,
@@ -224,6 +242,10 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # (BT, F, D)
         ds = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+        if dbias_ref is not None:
+            # ds IS the pre-softmax (logit) gradient; the bias enters the
+            # logits additively, so dbias_h = sum over the tile's tokens.
+            dbias_ref[h] = dbias_ref[h] + jnp.sum(ds, axis=0)
         ds_c = ds.astype(x.dtype)
 
         # d(projections): q was pre-scaled, so dq_raw = (ds @ k) * scale.
@@ -318,11 +340,13 @@ def _choose_tile_blockwise(tokens: int, f_pad: int, c: int, envelope: int, dtype
     return bt
 
 
-def _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, dtype):
+def _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, dtype, h=None, bias_ref=None):
     """Shared fwd/bwd sweep: online-softmax stats + output accumulator.
 
     Returns ``(m, l, acc)`` — running row max, denominator, and the
     UN-normalized output accumulator ``sum_j exp(s_j - m) @ v_j``, all f32.
+    With ``bias_ref`` ((H, F, F) f32) set, head ``h``'s bias panel is added
+    to the logits per KV block (fixed-math rel-pos bias).
     """
     bt = x_ref.shape[0]
     c = x_ref.shape[-1]
@@ -341,6 +365,8 @@ def _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, dtype):
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (bt, f, kb)
+        if bias_ref is not None:
+            s = s + bias_ref[h, :, pl.ds(start, kb)]
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + j * kb
         s = jnp.where(col >= kv_len, -1e9, s)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -373,7 +399,8 @@ def _project_q(x_ref, w_h, b_h, f, dim, scale, dtype):
 
 
 def _fwd_blockwise_kernel(
-    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim, kv_len, kb
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, *, f, heads, dim, kv_len, kb,
+    bias_ref=None,
 ):
     """Blockwise forward: fori over heads, online softmax over KV blocks."""
     bt = x_ref.shape[0]
@@ -385,7 +412,9 @@ def _fwd_blockwise_kernel(
         w_h = wqkv_ref[h]  # (c, 3D) packed q|kv
         b_h = bqkv_ref[h]  # (1, 3D)
         q = _project_q(x_ref, w_h, b_h, f, dim, scale, x.dtype)
-        m, l, acc = _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, x.dtype)
+        m, l, acc = _online_softmax_pass(
+            x_ref, w_h, b_h, q, f, dim, kv_len, kb, x.dtype, h=h, bias_ref=bias_ref
+        )
         oh = (acc / l).reshape(bt * f, dim)
         return y + jnp.dot(
             oh.astype(x.dtype), wo_ref[h], preferred_element_type=jnp.float32
@@ -401,6 +430,7 @@ def _bwd_blockwise_kernel(
     dx_ref, dwq_ref, dwkv_ref, dbq_ref, dbkv_ref, dwo_ref, dbo_ref,
     dx_acc,
     *, f, heads, dim, kv_len, kb,
+    bias_ref=None, dbias_ref=None,
 ):
     """Blockwise backward: per head, one stats sweep + one gradient sweep.
 
@@ -428,6 +458,8 @@ def _bwd_blockwise_kernel(
         dbkv_ref[...] = jnp.zeros(dbkv_ref.shape, dbkv_ref.dtype)
         dwo_ref[...] = jnp.zeros(dwo_ref.shape, dwo_ref.dtype)
         dbo_ref[...] = jnp.zeros(dbo_ref.shape, dbo_ref.dtype)
+        if dbias_ref is not None:
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
 
     dbo_ref[...] = dbo_ref[...] + jnp.sum(gf32, axis=0, keepdims=True)
     # Residual path: dx starts at g, heads accumulate their projections.
@@ -439,7 +471,9 @@ def _bwd_blockwise_kernel(
         q = _project_q(x_ref, w_h, b_h, f, dim, scale, x.dtype)
 
         # Sweep 1: stats + attention output for this head.
-        m, l, acc = _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, x.dtype)
+        m, l, acc = _online_softmax_pass(
+            x_ref, w_h, b_h, q, f, dim, kv_len, kb, x.dtype, h=h, bias_ref=bias_ref
+        )
         lse = m + jnp.log(l)  # (bt, f, 1)
         oh = (acc / l).reshape(bt * f, dim)
         oh_c = oh.astype(x.dtype)
@@ -471,6 +505,8 @@ def _bwd_blockwise_kernel(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (bt, f, kb)
+            if bias_ref is not None:
+                s = s + bias_ref[h, :, pl.ds(start, kb)]
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + j * kb
             s = jnp.where(col >= kv_len, -1e9, s)
             p = jnp.exp(s - lse)  # exact probabilities (masked cols -> 0)
@@ -487,6 +523,10 @@ def _bwd_blockwise_kernel(
                 preferred_element_type=jnp.float32,
             )  # (bt, f, kb)
             ds = p * (dp - di)
+            if dbias_ref is not None:
+                dbias_ref[h, :, pl.ds(start, kb)] = (
+                    dbias_ref[h, :, pl.ds(start, kb)] + jnp.sum(ds, axis=0)
+                )
             ds_c = ds.astype(x.dtype)
             dq_acc = dq_acc + jax.lax.dot_general(
                 ds_c, kj,
@@ -538,7 +578,16 @@ def _bwd_blockwise_kernel(
     dx_ref[...] = dx_acc[...].astype(x.dtype)
 
 
-def _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt):
+def _pad_bias(pos_bias, heads: int, f: int, f_pad: int):
+    """(H, f, f) f32 bias padded to (H, f_pad, f_pad) (padded cols are
+    masked to -1e9 in-kernel; padded rows are discarded)."""
+    bias = pos_bias.astype(jnp.float32)
+    if f_pad != f:
+        bias = jnp.pad(bias, ((0, 0), (0, f_pad - f), (0, f_pad - f)))
+    return bias
+
+
+def _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt, pos_bias=None):
     b, s, f, c = x.shape
     tokens = b * s
     xt = x.reshape(tokens, f, c)
@@ -548,36 +597,51 @@ def _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt):
     kb = _kv_block_size(f_pad)
     wq_h, bq_h, wo_h = _head_major(wqkv, bqkv, wo, heads, dim)
 
-    kernel = functools.partial(
-        _fwd_blockwise_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f, kb=kb
-    )
     const = lambda i: (0, 0, 0)  # noqa: E731
-    out = pl.pallas_call(
-        kernel,
-        grid=(tokens // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
-        interpret=FORCE_INTERPRET,
-    )(
+    in_specs = [
+        pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
         xt,
         wq_h.astype(x.dtype),
         bq_h.astype(jnp.float32),
         wo_h.astype(x.dtype),
         bo.reshape(1, c).astype(jnp.float32),
-    )
+    ]
+    if pos_bias is None:
+        kernel = functools.partial(
+            _fwd_blockwise_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f, kb=kb
+        )
+    else:
+        def kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref, bias_ref, out_ref):
+            _fwd_blockwise_kernel(
+                x_ref, w_ref, b_ref, wo_ref, bo_ref, out_ref,
+                f=f_pad, heads=heads, dim=dim, kv_len=f, kb=kb, bias_ref=bias_ref,
+            )
+
+        in_specs.append(
+            pl.BlockSpec((heads, f_pad, f_pad), const, memory_space=pltpu.VMEM)
+        )
+        args.append(_pad_bias(pos_bias, heads, f, f_pad))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(tokens // bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
+        interpret=FORCE_INTERPRET,
+    )(*args)
     if f_pad != f:
         out = out[:, :f]
     return out.reshape(b, s, f, c)
 
 
-def _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt):
+def _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt, pos_bias=None):
     b, s, f, c = x.shape
     tokens = b * s
     xt = x.reshape(tokens, f, c)
@@ -589,41 +653,70 @@ def _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt):
     kb = _kv_block_size(f_pad)
     wq_h, bq_h, wo_h = _head_major(wqkv, bqkv, wo, heads, dim)
 
-    kernel = functools.partial(
-        _bwd_blockwise_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f, kb=kb
-    )
     const = lambda i: (0, 0, 0)  # noqa: E731
-    dx, dwq, dwkv, dbq, dbkv, dwo_h, dbo = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, c, dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, c, 2 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, 1, dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, 1, 2 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
+        jax.ShapeDtypeStruct((heads, c, dim), jnp.float32),
+        jax.ShapeDtypeStruct((heads, c, 2 * dim), jnp.float32),
+        jax.ShapeDtypeStruct((heads, 1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((heads, 1, 2 * dim), jnp.float32),
+        jax.ShapeDtypeStruct((heads, dim, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+    ]
+    args = [xt, gt, wq_h.astype(x.dtype), bq_h.astype(jnp.float32), wo_h.astype(x.dtype)]
+    if pos_bias is None:
+        kernel = functools.partial(
+            _bwd_blockwise_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f, kb=kb
+        )
+    else:
+        def kernel(x_ref, g_ref, w_ref, b_ref, wo_ref, bias_ref, *rest):
+            *outs, dx_acc = rest
+            _bwd_blockwise_kernel(
+                x_ref, g_ref, w_ref, b_ref, wo_ref, *outs[:-1], dx_acc,
+                f=f_pad, heads=heads, dim=dim, kv_len=f, kb=kb,
+                bias_ref=bias_ref, dbias_ref=outs[-1],
+            )
+
+        in_specs.append(
+            pl.BlockSpec((heads, f_pad, f_pad), const, memory_space=pltpu.VMEM)
+        )
+        args.append(_pad_bias(pos_bias, heads, f, f_pad))
+        out_specs.append(
+            pl.BlockSpec((heads, f_pad, f_pad), const, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((heads, f_pad, f_pad), jnp.float32))
+
+    results = pl.pallas_call(
         kernel,
         grid=(tokens // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, 2 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, 1, dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, 1, 2 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
-            jax.ShapeDtypeStruct((heads, c, dim), jnp.float32),
-            jax.ShapeDtypeStruct((heads, c, 2 * dim), jnp.float32),
-            jax.ShapeDtypeStruct((heads, 1, dim), jnp.float32),
-            jax.ShapeDtypeStruct((heads, 1, 2 * dim), jnp.float32),
-            jax.ShapeDtypeStruct((heads, dim, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, f_pad, c), jnp.float32)],
         interpret=FORCE_INTERPRET,
-    )(xt, gt, wq_h.astype(x.dtype), bq_h.astype(jnp.float32), wo_h.astype(x.dtype))
+    )(*args)
+    if pos_bias is None:
+        dx, dwq, dwkv, dbq, dbkv, dwo_h, dbo = results
+        dbias = None
+    else:
+        dx, dwq, dwkv, dbq, dbkv, dwo_h, dbo, dbias = results
+        dbias = dbias[:, :f, :f].astype(pos_bias.dtype)
 
     if f_pad != f:
         dx = dx[:, :f]
@@ -632,13 +725,14 @@ def _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt):
     dw_h = jnp.concatenate([dwq, dwkv], axis=-1)
     db_h = jnp.concatenate([dbq, dbkv], axis=-1)
     dwqkv, dbqkv, dwo = _from_head_major(dw_h, db_h, dwo_h, heads, dim)
-    return (
+    grads = (
         dx.reshape(b, s, f, c),
         dwqkv.astype(wqkv.dtype),
         dbqkv.astype(bqkv.dtype),
         dwo.astype(wo.dtype),
         dbo.reshape(c).astype(bo.dtype),
     )
+    return grads if pos_bias is None else grads + (dbias,)
 
 
 def _choose_tile(tokens: int, f: int, c: int, envelope: int, dtype) -> int:
@@ -686,11 +780,12 @@ def _from_head_major(dw, db, dwo, heads: int, dim: int):
     return dwqkv, dbqkv, dwo
 
 
-def _composite_xla(x, wqkv, bqkv, wo, bo, heads: int, dim: int):
+def _composite_xla(x, wqkv, bqkv, wo, bo, heads: int, dim: int, pos_bias=None):
     """Reference math in plain XLA (fallback + non-TPU backward).
 
     Output dtype is exactly ``x.dtype`` — the custom VJP requires forward
     (Pallas) and backward-recompute paths to agree on JAX types.
+    ``pos_bias`` ((heads, f, f)) is the fixed-math pre-softmax logits bias.
     """
     b, s, f, c = x.shape
     scale = 1.0 / math.sqrt(dim)
@@ -700,6 +795,8 @@ def _composite_xla(x, wqkv, bqkv, wo, bo, heads: int, dim: int):
     qkv = qkv.reshape(b, s, f, 3, heads, dim)
     q, k, v = qkv[..., 0, :, :] * scale, qkv[..., 1, :, :], qkv[..., 2, :, :]
     sim = jnp.einsum("bsihd,bsjhd->bshij", q, k, preferred_element_type=jnp.float32)
+    if pos_bias is not None:
+        sim = sim + pos_bias.astype(jnp.float32)
     attn = jax.nn.softmax(sim, axis=-1)
     o = jnp.einsum("bshij,bsjhd->bsihd", attn.astype(x.dtype), v)
     o = o.reshape(b, s, f, heads * dim)
@@ -740,15 +837,15 @@ def fused_temporal_attention_block(x, wqkv, bqkv, wo, bo, heads: int, dim: int):
     return _forward(x, wqkv, bqkv, wo, bo, heads, dim)
 
 
-def _forward(x, wqkv, bqkv, wo, bo, heads, dim):
+def _forward(x, wqkv, bqkv, wo, bo, heads, dim, pos_bias=None):
     b, s, f, c = x.shape
     route = _route(x, f)
     if route == "composite":
-        return _composite_xla(x, wqkv, bqkv, wo, bo, heads, dim)
+        return _composite_xla(x, wqkv, bqkv, wo, bo, heads, dim, pos_bias=pos_bias)
     if route == "blockwise":
         f_pad = max(8, -(-f // 8) * 8)
         bt = _choose_tile_blockwise(b * s, f_pad, c, _ENVELOPE_BLOCKWISE_FWD, x.dtype)
-        return _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt)
+        return _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt, pos_bias=pos_bias)
 
     tokens = b * s
     bt = _choose_tile(tokens, f, c, _ENVELOPE_FWD, x.dtype)
@@ -760,27 +857,42 @@ def _forward(x, wqkv, bqkv, wo, bo, heads, dim):
         xt = jnp.pad(xt, ((0, 0), (0, f_pad - f), (0, 0)))
     hd3 = 3 * heads * dim
 
-    kernel = functools.partial(_fwd_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f)
-    out = pl.pallas_call(
-        kernel,
-        grid=(tokens // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, hd3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads * dim, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
-        interpret=FORCE_INTERPRET,
-    )(
+    in_specs = [
+        pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, hd3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads * dim, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
         xt,
         wqkv.astype(x.dtype),
         bqkv.reshape(1, hd3).astype(jnp.float32),
         wo.astype(x.dtype),
         bo.reshape(1, c).astype(jnp.float32),
-    )
+    ]
+    if pos_bias is None:
+        kernel = functools.partial(_fwd_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f)
+    else:
+        def kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref, bias_ref, out_ref):
+            _fwd_kernel(
+                x_ref, w_ref, b_ref, wo_ref, bo_ref, out_ref,
+                f=f_pad, heads=heads, dim=dim, kv_len=f, bias_ref=bias_ref,
+            )
+
+        in_specs.append(
+            pl.BlockSpec((heads, f_pad, f_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(_pad_bias(pos_bias, heads, f, f_pad))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(tokens // bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
+        interpret=FORCE_INTERPRET,
+    )(*args)
     if f_pad != f:
         out = out[:, :f]
     return out.reshape(b, s, f, c)
@@ -793,15 +905,30 @@ def _fwd(x, wqkv, bqkv, wo, bo, heads, dim):
 def _bwd(heads, dim, residuals, g):
     """Fused Pallas backward on TPU; XLA-composite VJP elsewhere."""
     x, wqkv, bqkv, wo, bo = residuals
+    return _backward(x, wqkv, bqkv, wo, bo, g, heads, dim)
+
+
+def _backward(x, wqkv, bqkv, wo, bo, g, heads, dim, pos_bias=None):
+    """Shared backward; with ``pos_bias`` the return gains a trailing dbias."""
     b, s, f, c = x.shape
     route = _route(x, f)
     if route == "composite":
-        _, vjp = jax.vjp(lambda *a: _composite_xla(*a, heads, dim), x, wqkv, bqkv, wo, bo)
+        if pos_bias is None:
+            _, vjp = jax.vjp(
+                lambda *a: _composite_xla(*a, heads, dim), x, wqkv, bqkv, wo, bo
+            )
+            return vjp(g)
+        _, vjp = jax.vjp(
+            lambda *a: _composite_xla(*a[:5], heads, dim, pos_bias=a[5]),
+            x, wqkv, bqkv, wo, bo, pos_bias,
+        )
         return vjp(g)
     if route == "blockwise":
         f_pad = max(8, -(-f // 8) * 8)
         bt = _choose_tile_blockwise(b * s, f_pad, c, _ENVELOPE_BLOCKWISE_BWD, x.dtype)
-        return _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt)
+        return _backward_blockwise(
+            x, wqkv, bqkv, wo, bo, g, heads, dim, bt, pos_bias=pos_bias
+        )
 
     tokens = b * s
     bt = _choose_tile(tokens, f, c, _ENVELOPE_BWD, x.dtype)
@@ -817,48 +944,110 @@ def _bwd(heads, dim, residuals, g):
     wq_h = wq_h.astype(x.dtype)
     wo_h = wo_h.astype(x.dtype)
 
-    kernel = functools.partial(_bwd_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f)
     const = lambda i: (0, 0, 0)  # noqa: E731 — weight-grad blocks are grid-invariant
-    dx, dw_h, db_h, dwo_h, dbo = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
+        jax.ShapeDtypeStruct((heads, c, 3 * dim), jnp.float32),
+        jax.ShapeDtypeStruct((heads, 1, 3 * dim), jnp.float32),
+        jax.ShapeDtypeStruct((heads, dim, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+    ]
+    args = [xt, gt, wq_h, bq_h, wo_h]
+    if pos_bias is None:
+        kernel = functools.partial(_bwd_kernel, f=f_pad, heads=heads, dim=dim, kv_len=f)
+    else:
+        def kernel(x_ref, g_ref, w_ref, b_ref, wo_ref, bias_ref,
+                   dx_ref, dw_ref, db_ref, dwo_ref, dbo_ref, dbias_ref):
+            _bwd_kernel(
+                x_ref, g_ref, w_ref, b_ref, wo_ref,
+                dx_ref, dw_ref, db_ref, dwo_ref, dbo_ref,
+                f=f_pad, heads=heads, dim=dim, kv_len=f,
+                bias_ref=bias_ref, dbias_ref=dbias_ref,
+            )
+
+        in_specs.append(
+            pl.BlockSpec((heads, f_pad, f_pad), const, memory_space=pltpu.VMEM)
+        )
+        args.append(_pad_bias(pos_bias, heads, f, f_pad))
+        out_specs.append(
+            pl.BlockSpec((heads, f_pad, f_pad), const, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((heads, f_pad, f_pad), jnp.float32))
+
+    results = pl.pallas_call(
         kernel,
         grid=(tokens // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bt, f_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, 3 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, 1, 3 * dim), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, dim, c), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((tokens, f_pad, c), x.dtype),
-            jax.ShapeDtypeStruct((heads, c, 3 * dim), jnp.float32),
-            jax.ShapeDtypeStruct((heads, 1, 3 * dim), jnp.float32),
-            jax.ShapeDtypeStruct((heads, dim, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=FORCE_INTERPRET,
-    )(xt, gt, wq_h, bq_h, wo_h)
+    )(*args)
+    if pos_bias is None:
+        dx, dw_h, db_h, dwo_h, dbo = results
+        dbias = None
+    else:
+        dx, dw_h, db_h, dwo_h, dbo, dbias = results
+        dbias = dbias[:, :f, :f].astype(pos_bias.dtype)
 
     if f_pad != f:
         dx = dx[:, :f]
     dwqkv, dbqkv, dwo = _from_head_major(dw_h, db_h, dwo_h, heads, dim)
-    return (
+    grads = (
         dx.reshape(b, s, f, c),
         dwqkv.astype(wqkv.dtype),
         dbqkv.astype(bqkv.dtype),
         dwo.astype(wo.dtype),
         dbo.reshape(c).astype(bo.dtype),
     )
+    return grads if pos_bias is None else grads + (dbias,)
 
 
 fused_temporal_attention_block.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_temporal_attention_block_biased(
+    x, wqkv, bqkv, wo, bo, pos_bias, heads: int, dim: int
+):
+    """``x + MHA(x, pos_bias)`` with an additive PRE-softmax logits bias.
+
+    The FIXED-math temporal attention (reference modules.py:247-326 as
+    *intended*: rel-pos bias on the logits, not on the probabilities).
+    ``pos_bias``: ``(heads, f, f)``, differentiable — the T5-style bias
+    table trains through this op. The pre-norm of the fixed PreNorm chain
+    runs OUTSIDE (callers pass the normalized x and add the residual from
+    the un-normalized input: ``out = x_orig + (this(xn, ...) - xn)``).
+    """
+    return _forward(x, wqkv, bqkv, wo, bo, heads, dim, pos_bias=pos_bias)
+
+
+def _fwd_biased(x, wqkv, bqkv, wo, bo, pos_bias, heads, dim):
+    return (
+        _forward(x, wqkv, bqkv, wo, bo, heads, dim, pos_bias=pos_bias),
+        (x, wqkv, bqkv, wo, bo, pos_bias),
+    )
+
+
+def _bwd_biased(heads, dim, residuals, g):
+    x, wqkv, bqkv, wo, bo, pos_bias = residuals
+    return _backward(x, wqkv, bqkv, wo, bo, g, heads, dim, pos_bias=pos_bias)
+
+
+fused_temporal_attention_block_biased.defvjp(_fwd_biased, _bwd_biased)
 
 
 def pack_mha_weights(mha) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
