@@ -345,8 +345,12 @@ def _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, dtype, h=None, 
 
     Returns ``(m, l, acc)`` — running row max, denominator, and the
     UN-normalized output accumulator ``sum_j exp(s_j - m) @ v_j``, all f32.
-    With ``bias_ref`` ((H, F, F) f32) set, head ``h``'s bias panel is added
-    to the logits per KV block (fixed-math rel-pos bias).
+    With ``bias_ref`` set, head ``h``'s bias panel is added to the logits
+    per KV block (fixed-math rel-pos bias). The blockwise bias is stored
+    KV-MAJOR — ``(H, F_kv, F_q)`` — so the per-block dynamic slice lands on
+    the sublane dim (provably a multiple of 8 via ``pl.multiple_of``);
+    Mosaic rejects dynamic LANE-dim slices unless 128-aligned, and ``kb``
+    can be as small as 8.
     """
     bt = x_ref.shape[0]
     c = x_ref.shape[-1]
@@ -366,7 +370,7 @@ def _online_softmax_pass(x_ref, w_h, b_h, q, f, dim, kv_len, kb, dtype, h=None, 
             preferred_element_type=jnp.float32,
         )  # (bt, f, kb)
         if bias_ref is not None:
-            s = s + bias_ref[h, :, pl.ds(start, kb)]
+            s = s + jnp.transpose(bias_ref[h, pl.ds(start, kb), :])[None]
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + j * kb
         s = jnp.where(col >= kv_len, -1e9, s)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -506,7 +510,7 @@ def _bwd_blockwise_kernel(
                 preferred_element_type=jnp.float32,
             )  # (bt, f, kb)
             if bias_ref is not None:
-                s = s + bias_ref[h, :, pl.ds(start, kb)]
+                s = s + jnp.transpose(bias_ref[h, pl.ds(start, kb), :])[None]
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + j * kb
             s = jnp.where(col >= kv_len, -1e9, s)
             p = jnp.exp(s - lse)  # exact probabilities (masked cols -> 0)
@@ -524,8 +528,10 @@ def _bwd_blockwise_kernel(
             )  # (bt, f, kb)
             ds = p * (dp - di)
             if dbias_ref is not None:
-                dbias_ref[h, :, pl.ds(start, kb)] = (
-                    dbias_ref[h, :, pl.ds(start, kb)] + jnp.sum(ds, axis=0)
+                # KV-major store (see _online_softmax_pass): sublane slice.
+                dbias_ref[h, pl.ds(start, kb), :] = (
+                    dbias_ref[h, pl.ds(start, kb), :]
+                    + jnp.transpose(jnp.sum(ds, axis=0))
                 )
             ds_c = ds.astype(x.dtype)
             dq_acc = dq_acc + jax.lax.dot_general(
@@ -587,6 +593,14 @@ def _pad_bias(pos_bias, heads: int, f: int, f_pad: int):
     return bias
 
 
+def _pad_bias_t(pos_bias, heads: int, f: int, f_pad: int):
+    """Blockwise-kernel bias layout: padded AND transposed to KV-major
+    ``(H, F_kv, F_q)`` so the kernels' per-KV-block dynamic slice is a
+    sublane slice (Mosaic requires 128-alignment for lane-dim dynamic
+    slices; kb can be 8)."""
+    return _pad_bias(pos_bias, heads, f, f_pad).transpose(0, 2, 1)
+
+
 def _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt, pos_bias=None):
     b, s, f, c = x.shape
     tokens = b * s
@@ -626,7 +640,7 @@ def _forward_blockwise(x, wqkv, bqkv, wo, bo, heads, dim, bt, pos_bias=None):
         in_specs.append(
             pl.BlockSpec((heads, f_pad, f_pad), const, memory_space=pltpu.VMEM)
         )
-        args.append(_pad_bias(pos_bias, heads, f, f_pad))
+        args.append(_pad_bias_t(pos_bias, heads, f, f_pad))
 
     out = pl.pallas_call(
         kernel,
@@ -696,7 +710,7 @@ def _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt, pos_bias=None)
         in_specs.append(
             pl.BlockSpec((heads, f_pad, f_pad), const, memory_space=pltpu.VMEM)
         )
-        args.append(_pad_bias(pos_bias, heads, f, f_pad))
+        args.append(_pad_bias_t(pos_bias, heads, f, f_pad))
         out_specs.append(
             pl.BlockSpec((heads, f_pad, f_pad), const, memory_space=pltpu.VMEM)
         )
@@ -716,7 +730,8 @@ def _backward_blockwise(x, wqkv, bqkv, wo, bo, g, heads, dim, bt, pos_bias=None)
         dbias = None
     else:
         dx, dwq, dwkv, dbq, dbkv, dwo_h, dbo, dbias = results
-        dbias = dbias[:, :f, :f].astype(pos_bias.dtype)
+        # KV-major (H, F_kv, F_q) back to (H, F_q, F_kv).
+        dbias = dbias.transpose(0, 2, 1)[:, :f, :f].astype(pos_bias.dtype)
 
     if f_pad != f:
         dx = dx[:, :f]
