@@ -61,7 +61,21 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     path = Path(cache_dir).expanduser().resolve()
     try:
         path.mkdir(parents=True, exist_ok=True)
+        previous = getattr(jax.config, "jax_compilation_cache_dir", None)
         jax.config.update("jax_compilation_cache_dir", str(path))
+        if previous and previous != str(path):
+            # jax binds its cache singleton to the first directory it
+            # initializes; a config update alone won't re-point an
+            # already-created cache (writes keep landing in the old dir).
+            try:
+                from jax._src import compilation_cache
+
+                compilation_cache.reset_cache()
+            except Exception:  # pragma: no cover - private API drift
+                logger.warning(
+                    "could not reset jax's compilation-cache singleton; "
+                    "cache writes may continue to %s", previous
+                )
         # Cache everything: the default min-compile-time gate (1s) would
         # skip small programs, but over the remote-compile tunnel even those
         # cost seconds of round trip.
