@@ -102,6 +102,19 @@ def main() -> None:
     ddim_s = min(timed_ddim(i + 1) for i in range(3))
     print(f"[ddim-50] best: {ddim_s:.3f}s", file=sys.stderr)
 
+    # Second-order multistep ODE sampler: DPM-Solver++(2M) at 20 steps.
+    def timed_dpm(seed: int) -> float:
+        t0 = time.perf_counter()
+        out = prod.dpm_solver_sample(
+            key=jax.random.PRNGKey(seed), batch_size=batch, num_steps=20
+        )
+        assert float(jnp.mean(out)) == float(jnp.mean(out))
+        return time.perf_counter() - t0
+
+    timed_dpm(0)  # compile
+    dpm_s = min(timed_dpm(i + 1) for i in range(3))
+    print(f"[dpm-20] best: {dpm_s:.3f}s", file=sys.stderr)
+
     # Training throughput + MFU at the v2_2 recipe (batch 4, 10 frames,
     # bf16 compute): one full fwd+bwd+Adam+EMA step.
     import optax
@@ -242,6 +255,7 @@ def main() -> None:
         "f32_parity_s": round(f32_s, 3),
         "bf16_fused_s": round(fused_s, 3),
         "ddim_50step_s": round(ddim_s, 3),
+        "dpm_solver_20step_s": round(dpm_s, 3),
         "train_step_v2_2_b4_bf16_ms": round(train_s * 1000, 1),
         "train_steps_per_sec_per_chip": round(1.0 / train_s, 2),
         "train_step_composite_ms": round(train_comp_s * 1000, 1),

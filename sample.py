@@ -7,6 +7,7 @@ global min-max -> uint8 normalization. Beyond the reference it exposes the
 fast sampler and classifier-free guidance:
 
     --sampler ddim --num-steps 50        50-step DDIM instead of full DDPM
+    --sampler dpm --num-steps 20         DPM-Solver++(2M), 2nd-order ODE
     --text "a bouncing digit" --cond-scale 2.0   CFG text conditioning
 """
 
@@ -32,8 +33,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--load-ema-params", action="store_true", default=False)
     # Beyond-reference sampler controls.
     p.add_argument(
-        "--sampler", choices=("ddpm", "ddim"), default="ddpm",
-        help="ddpm = full reverse chain (reference behavior); ddim = fast sampler",
+        "--sampler", choices=("ddpm", "ddim", "dpm"), default="ddpm",
+        help="ddpm = full reverse chain (reference behavior); ddim = fast "
+             "sampler; dpm = DPM-Solver++(2M) second-order ODE sampler",
     )
     p.add_argument(
         "--num-steps", type=int, default=50,
@@ -97,6 +99,12 @@ def main() -> None:
         videos = model.ddim_sample(
             key, cond=cond, cond_scale=args.cond_scale,
             batch_size=args.batch_size, num_steps=args.num_steps, eta=args.eta,
+        )
+    elif args.sampler == "dpm":
+        log.info("DPM-Solver++(2M) sampling: %d steps", args.num_steps)
+        videos = model.dpm_solver_sample(
+            key, cond=cond, cond_scale=args.cond_scale,
+            batch_size=args.batch_size, num_steps=args.num_steps,
         )
     else:
         videos = model.sample(

@@ -229,6 +229,27 @@ class TestTrainSampleRoundtrip:
         sample_cli.main()
         assert (out_dir / "sample_0.gif").exists()
 
+    def test_sample_cli_dpm(self, tiny_setup, monkeypatch):
+        """--sampler dpm reaches the DPM-Solver++(2M) sampler from the CLI."""
+        root, cfg_path = tiny_setup
+        out_dir = root / "outputs_dpm"
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "sample.py",
+                "--config", str(cfg_path),
+                "--checkpoint-path", str(root / "results" / "checkpoints"),
+                "--step", "2",
+                "--batch-size", "1",
+                "--output-path", str(out_dir),
+                "--sampler", "dpm",
+                "--num-steps", "4",
+            ],
+        )
+        sample_cli.main()
+        assert (out_dir / "sample_0.gif").exists()
+
     def test_sample_cli_missing_step_exits_cleanly(self, tiny_setup, monkeypatch):
         """A nonexistent checkpoint step is a clean SystemExit naming the
         available steps, not an Orbax traceback."""

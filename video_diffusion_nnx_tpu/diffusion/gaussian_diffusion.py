@@ -418,6 +418,121 @@ class GaussianDiffusion(nnx.Module):
             return jitted(state, key)
         return jitted(state, key, cond)
 
+    def dpm_solver_sample(
+        self,
+        key: jax.Array,
+        cond: Any = None,
+        cond_scale: float = 1.0,
+        batch_size: int = 16,
+        num_steps: int = 20,
+        mesh: Mesh | None = None,
+    ) -> jax.Array:
+        """DPM-Solver++(2M) sampling (Lu et al. 2022) — a second-order
+        multistep ODE solver beyond the reference's capabilities: 10-20
+        denoise steps for quality comparable to DDIM at 50. Deterministic.
+
+        Data-prediction formulation: each step evaluates the denoiser once
+        and combines the current and previous clipped x0 predictions with
+        log-SNR (lambda) spacing weights. The first step and the final step
+        (whose target is sigma = 0, where the second-order ratio r = h'/h
+        degenerates) use the first-order update — the standard
+        ``lower_order_final`` stabilization. Runs as one on-device
+        ``lax.scan``; same sharding/cache plumbing as ``ddim_sample``.
+        """
+        if is_list_str(cond):
+            cond = jnp.asarray(
+                bert_embed(tokenize(cond), return_cls_repr=self.text_use_bert_cls)
+            )
+        if exists(cond):
+            batch_size = cond.shape[0]
+        shape = (batch_size, self.channels, self.num_frames, self.image_size, self.image_size)
+
+        graphdef, state = nnx.split(self)
+        if mesh is None:
+            mesh = data_parallel_mesh()
+        batch_spec = _sampler_batch_spec(batch_size, mesh)
+        repl = NamedSharding(mesh, P())
+        img_sharding = NamedSharding(mesh, batch_spec)
+
+        cs = float(cond_scale)
+        cache_key = (
+            "dpm2m", graphdef, shape, self.num_timesteps, num_steps, mesh,
+            batch_spec, cs, cond is not None,
+        )
+        cached = _cache_get(cache_key)
+        if cached is not None:
+            if cond is None:
+                return cached(state, key)
+            return cached(state, key, cond)
+
+        times = jnp.linspace(0, self.num_timesteps - 1, num_steps).round().astype(jnp.int32)
+        times = times[::-1]
+        times_prev = jnp.concatenate([times[1:], jnp.array([-1], jnp.int32)])
+        acp = self.alphas_cumprod[...]
+
+        def lam(a):
+            a = jnp.clip(a, 1e-12, 1.0 - 1e-12)
+            return 0.5 * (jnp.log(a) - jnp.log1p(-a))
+
+        def run(state, key, cond=None):
+            model = nnx.merge(graphdef, state)
+            # Same init-noise key chain as ddim_sample: dpm(num_steps=N) and
+            # ddim(eta=0) integrate the SAME ODE from the SAME x_T, so their
+            # outputs converge to each other as N grows (tested).
+            key, init_key = jax.random.split(key)
+            img = jax.random.normal(init_key, shape)
+            img = jax.lax.with_sharding_constraint(img, img_sharding)
+
+            def body(carry, step):
+                img, x0_prev, h_prev = carry
+                t, t_prev, i = step
+                t_arr = jnp.full((batch_size,), t, jnp.int32)
+
+                eps = model.denoise_fn.forward_with_cond_scale(
+                    img, t_arr, cond=cond, cond_scale=cs
+                )
+                eps = rearrange(eps, "b f h w c -> b c f h w")
+                x0 = model.predict_start_from_noise(img, t=t_arr, noise=eps)
+                x0 = jnp.clip(x0, -1.0, 1.0)
+
+                a_cur = acp[t]
+                a_next = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+                alpha_c, sigma_c = jnp.sqrt(a_cur), jnp.sqrt(1.0 - a_cur)
+                alpha_n = jnp.sqrt(a_next)
+                sigma_n = jnp.sqrt(jnp.maximum(1.0 - a_next, 0.0))
+                # exp(-h) computed exactly from the schedule (0 when
+                # sigma_n = 0, i.e. the final step to clean data).
+                exp_neg_h = (alpha_c * sigma_n) / (sigma_c * alpha_n)
+                h = lam(a_next) - lam(a_cur)
+
+                # Second-order multistep correction from the previous x0.
+                r = h_prev / h
+                d2 = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+                first_order = jnp.logical_or(i == 0, t_prev < 0)
+                d = jnp.where(first_order, x0, d2)
+
+                img = (sigma_n / sigma_c) * img + alpha_n * (1.0 - exp_neg_h) * d
+                img = jax.lax.with_sharding_constraint(img, img_sharding)
+                return (img, x0, h), None
+
+            steps = (times, times_prev, jnp.arange(num_steps))
+            init = (img, jnp.zeros_like(img), jnp.ones(()))
+            (img, _, _), _ = jax.lax.scan(body, init, steps)
+            return unnormalize_img(img)
+
+        if cond is not None:
+            jitted = jax.jit(run, in_shardings=(repl, repl, repl), out_shardings=img_sharding)
+        else:
+            jitted = jax.jit(
+                lambda state, key: run(state, key),
+                in_shardings=(repl, repl),
+                out_shardings=img_sharding,
+            )
+        _cache_put(cache_key, jitted)
+        if cond is None:
+            return jitted(state, key)
+        return jitted(state, key, cond)
+
     def sample(
         self,
         key: jax.Array,
