@@ -445,17 +445,51 @@ class TestUnetFusedPath:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
             )
 
-    def test_fixed_mode_with_focus_prob_falls_back(self):
-        """A live focus-present probability disables the fused fixed path
-        (the kernels don't implement the mask) and still computes."""
+    def test_fixed_mode_live_focus_mask_fused_matches_composite(self):
+        """A LIVE (mixed True/False) focus mask stays on the fused path:
+        masked samples take the XLA v-projection select, unmasked ones the
+        biased kernel — whole-model output must match the composite chain
+        with the same mask."""
+        kwargs = dict(
+            dim=16, dim_mults=(1, 2), channels=1, attn_heads=2, reference_compat=False
+        )
+        base = Unet3D(rngs=nnx.Rngs(0), **kwargs)
+        fused = Unet3D(
+            rngs=nnx.Rngs(0), use_fused_attention=True,
+            use_fused_spatial_attention=True, **kwargs,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4, 8, 8))
+        t = jnp.array([3.0, 1.0])
+        mask = jnp.array([True, False])
+        a = np.asarray(base(x, t, focus_present_mask=mask))
+        b = np.asarray(fused(x, t, focus_present_mask=mask))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_fixed_mode_focus_prob_traced_mask_computes(self):
+        """A traced bernoulli mask (prob_focus_present > 0) jits through the
+        fused path and yields finite output and gradients."""
         net = Unet3D(
             dim=16, rngs=nnx.Rngs(0), dim_mults=(1,), channels=1, attn_heads=2,
             reference_compat=False, use_fused_attention=True,
         )
+        graphdef, params = nnx.split(net)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4, 8, 8))
         t = jnp.array([3.0, 1.0])
-        out = net(x, t, prob_focus_present=0.5, key=jax.random.PRNGKey(1))
-        assert np.isfinite(np.asarray(out)).all()
+
+        @jax.jit
+        def loss_and_grad(p):
+            def f(p):
+                out = nnx.merge(graphdef, p)(
+                    x, t, prob_focus_present=0.5, key=jax.random.PRNGKey(1)
+                )
+                return jnp.sum(out ** 2)
+
+            return jax.value_and_grad(f)(p)
+
+        loss, grads = loss_and_grad(params)
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all()
 
 
 from video_diffusion_nnx_tpu.models import SpatialLinearAttention

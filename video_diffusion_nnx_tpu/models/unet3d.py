@@ -357,11 +357,14 @@ class Unet3D(nnx.Module):
         ``x + MHA(rearrange(x))`` (PreNorm drops the norm and the kwargs),
         which is exactly what the fused Pallas kernel computes in one
         VMEM-resident pass. In FIXED mode the chain is
-        ``x + MHA(LN(x), pos_bias, mask)``: the LayerNorm runs in XLA, the
-        rel-pos bias rides the biased kernel variant, and the fused path is
-        taken only when the focus mask is STATICALLY inactive
-        (``static_no_focus`` — a traced mask would need in-kernel masking
-        the kernels don't implement; the composite chain handles it).
+        ``x + MHA(LN(x), pos_bias, mask)``: the LayerNorm runs in XLA and
+        the rel-pos bias rides the biased kernel variant. A LIVE focus mask
+        needs no in-kernel support: a masked sample's row keeps only its
+        diagonal logit, so softmax collapses to the identity and its output
+        is exactly ``x + v @ Wo + bo`` — two cheap XLA matmuls selected
+        per-sample with ``where`` (``static_no_focus`` skips even that).
+        Gradients are exact: the select zeroes the discarded branch's
+        cotangents row-wise through both paths.
         """
         if self.sequence_parallel_mesh is not None and not isinstance(block, Identity):
             from video_diffusion_nnx_tpu.ops.temporal_attention import pack_mha_weights
@@ -380,10 +383,7 @@ class Unet3D(nnx.Module):
                 batch_axis="data" if "data" in mesh.axis_names else None,
             )
             return y.transpose(0, 2, 1, 3).reshape(b, f, h, w, c)
-        fused_ok = self.use_fused_attention and not isinstance(block, Identity) and (
-            self.reference_compat or static_no_focus
-        )
-        if fused_ok:
+        if self.use_fused_attention and not isinstance(block, Identity):
             from video_diffusion_nnx_tpu.ops.temporal_attention import (
                 fused_temporal_attention_block,
                 fused_temporal_attention_block_biased,
@@ -396,6 +396,8 @@ class Unet3D(nnx.Module):
             wqkv, bqkv, wo, bo = pack_mha_weights(mha)
             heads = mha.q.kernel[...].shape[1]
             if self.reference_compat:
+                # PreNorm drops pos_bias/focus mask in compat mode
+                # (PARITY.md #1), so the plain kernel is the whole story.
                 y = fused_temporal_attention_block(x_r, wqkv, bqkv, wo, bo, heads, mha.dim)
             else:
                 xn = block.fn.norm(x_r)
@@ -403,6 +405,20 @@ class Unet3D(nnx.Module):
                     xn, wqkv, bqkv, wo, bo, pos_bias, heads, mha.dim
                 )
                 y = x_r + (z - xn)  # kernel folds xn's residual; swap in x's
+                if not static_no_focus and focus_present_mask is not None:
+                    # Masked samples attend only to themselves: the row's
+                    # softmax collapses to the identity, so the output is
+                    # the v-projection alone (matches the composite MHA's
+                    # fixed-branch masked semantics exactly).
+                    hd = heads * mha.dim
+                    v = (
+                        jnp.einsum("bsfc,ck->bsfk", xn, wqkv[:, 2 * hd:])
+                        + bqkv[2 * hd:]
+                    )
+                    y_self = x_r + jnp.einsum("bsfk,kc->bsfc", v, wo) + bo
+                    y = jnp.where(
+                        focus_present_mask.reshape(b, 1, 1, 1), y_self, y
+                    )
             return y.transpose(0, 2, 1, 3).reshape(b, f, h, w, c)
         return block(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
 
