@@ -445,3 +445,161 @@ class TestTextConditionedSampling:
         )
         assert out.shape == (1, 1, 2, 8, 8)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def _make_param_diffusion(kind, timesteps=20):
+    return GaussianDiffusion(
+        ZeroDenoiser(), image_size=8, num_frames=2, channels=1,
+        timesteps=timesteps, loss_type="l2", prediction_type=kind,
+    )
+
+
+class ReparamDenoiser(nnx.Module):
+    """Encodes ONE fixed underlying eps prediction in a chosen
+    parameterization — lets tests assert that every prediction_type drives
+    the reverse process identically when the predictions agree."""
+
+    def __init__(self, kind, acp, seed=7):
+        self.kind = kind
+        self.acp = nnx.Variable(acp)
+        self.seed = seed
+
+    def forward_with_cond_scale(self, x, t, cond=None, cond_scale=1.0, **kwargs):
+        eps = jax.random.normal(jax.random.PRNGKey(self.seed), x.shape)
+        a = self.acp[...][t].reshape(-1, 1, 1, 1, 1)
+        alpha, sigma = jnp.sqrt(a), jnp.sqrt(1.0 - a)
+        x0 = (x - sigma * eps) / alpha
+        if self.kind == "noise":
+            out = eps
+        elif self.kind == "v":
+            out = alpha * eps - sigma * x0
+        else:
+            out = x0
+        return jnp.transpose(out, (0, 2, 3, 4, 1))
+
+    __call__ = forward_with_cond_scale
+
+
+class TestPredictionTypes:
+    def test_invalid_type_raises(self):
+        with pytest.raises(ValueError):
+            _make_param_diffusion("epsilon")
+
+    def test_v_space_round_trip(self):
+        """x0 -> (v via predict_v) -> predict_start_from_v recovers x0."""
+        d = _make_param_diffusion("v")
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(key, SHAPE)
+        eps = jax.random.normal(jax.random.fold_in(key, 1), SHAPE)
+        t = jnp.array([3, 17])
+        x_t = d.q_sample(x0, t, noise=eps)
+        v = d.predict_v(x0, t, eps)
+        np.testing.assert_allclose(
+            np.asarray(d.predict_start_from_v(x_t, t, v)), np.asarray(x0),
+            atol=1e-4,
+        )
+
+    @pytest.mark.parametrize("kind", ["noise", "v", "x0"])
+    def test_model_out_conversion_consistent(self, kind):
+        """_model_out_to_x0_eps recovers the SAME (x0, eps) from each
+        parameterization of one underlying prediction."""
+        d = _make_param_diffusion(kind)
+        ref = _make_param_diffusion("noise")
+        key = jax.random.PRNGKey(2)
+        x_t = jax.random.normal(key, SHAPE)
+        eps = jax.random.normal(jax.random.fold_in(key, 1), SHAPE)
+        t = jnp.array([5, 12])
+        x0_ref = ref.predict_start_from_noise(x_t, t=t, noise=eps)
+        if kind == "noise":
+            out = eps
+        elif kind == "v":
+            out = d.predict_v(x0_ref, t, eps)
+        else:
+            out = x0_ref
+        x0, eps_hat = d._model_out_to_x0_eps(x_t, t, out)
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_ref), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(eps_hat), np.asarray(eps), atol=2e-4)
+
+    @pytest.mark.parametrize("kind", ["v", "x0"])
+    def test_p_mean_variance_matches_noise_param(self, kind):
+        """The posterior from a v/x0 model encoding the same prediction is
+        identical to the eps model's (clip off isolates the conversion)."""
+        d_eps = _make_param_diffusion("noise")
+        d_eps.denoise_fn = ReparamDenoiser("noise", d_eps.alphas_cumprod[...])
+        d_k = _make_param_diffusion(kind)
+        d_k.denoise_fn = ReparamDenoiser(kind, d_k.alphas_cumprod[...])
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, SHAPE)
+        t = jnp.array([4, 15])
+        m_ref, v_ref, lv_ref = d_eps.p_mean_variance(x, t, clip_denoised=False)
+        m, v, lv = d_k.p_mean_variance(x, t, clip_denoised=False)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-6)
+
+    @pytest.mark.parametrize("kind", ["noise", "v", "x0"])
+    def test_p_losses_target(self, kind):
+        """Zero model output + l2 => loss == mean(target^2) for each target."""
+        d = _make_param_diffusion(kind)
+        key = jax.random.PRNGKey(4)
+        x0 = jax.random.normal(key, SHAPE) * 0.5
+        eps = jax.random.normal(jax.random.fold_in(key, 9), SHAPE)
+        t = jnp.array([2, 18])
+        loss = d.p_losses(x0, t, key=jax.random.PRNGKey(0), noise=eps)
+        if kind == "noise":
+            target = eps
+        elif kind == "v":
+            target = d.predict_v(x0, t, eps)
+        else:
+            target = x0
+        np.testing.assert_allclose(
+            float(loss), float(jnp.mean(target**2)), rtol=1e-5
+        )
+
+    @pytest.mark.parametrize("kind", ["v", "x0"])
+    def test_samplers_run_all_types(self, kind):
+        d = _make_param_diffusion(kind, timesteps=6)
+        out = d.sample(key=jax.random.PRNGKey(0), batch_size=1)
+        assert out.shape == (1, C, F, H, W)
+        assert np.isfinite(np.asarray(out)).all()
+        out = d.ddim_sample(key=jax.random.PRNGKey(0), batch_size=1, num_steps=3)
+        assert np.isfinite(np.asarray(out)).all()
+        out = d.dpm_solver_sample(key=jax.random.PRNGKey(0), batch_size=1, num_steps=3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_oracle_v_model_exact_recovery(self):
+        """A v-parameterized oracle (exact x0) must make DDIM land on x0 —
+        validates the conversion inside the compiled sampler body."""
+        x0 = jnp.tanh(jax.random.normal(jax.random.PRNGKey(3), SHAPE)) * 0.9
+
+        class OracleV(nnx.Module):
+            def __init__(self, x0, acp):
+                self.x0 = nnx.Variable(x0)
+                self.acp = nnx.Variable(acp)
+
+            def forward_with_cond_scale(self, x, t, cond=None, cond_scale=1.0, **kwargs):
+                a = self.acp[...][t].reshape(-1, 1, 1, 1, 1)
+                alpha, sigma = jnp.sqrt(a), jnp.sqrt(1.0 - a)
+                eps = (x - alpha * self.x0[...]) / sigma
+                v = alpha * eps - sigma * self.x0[...]
+                return jnp.transpose(v, (0, 2, 3, 4, 1))
+
+            __call__ = forward_with_cond_scale
+
+        model = _make_param_diffusion("v")
+        model.denoise_fn = OracleV(x0, model.alphas_cumprod[...])
+        out = model.ddim_sample(key=jax.random.PRNGKey(0), batch_size=B, num_steps=6)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray((x0 + 1.0) / 2.0), atol=1e-4
+        )
+
+    def test_config_exposes_prediction_type(self):
+        from video_diffusion_nnx_tpu.config import build_models
+
+        _, diff = build_models({
+            "unet": {"dim": 8, "dim_mults": [1], "channels": 1, "attn_heads": 2},
+            "diffusion": {
+                "image_size": 8, "num_frames": 2, "channels": 1,
+                "timesteps": 4, "prediction_type": "v",
+            },
+        })
+        assert diff.prediction_type == "v"

@@ -110,6 +110,9 @@ _DIFFUSION_DEFAULTS: dict[str, Any] = {
     "text_use_bert_cls": False,
     "use_dynamic_thres": False,
     "dynamic_thres_percentile": 0.9,
+    # "noise" (reference parity) | "v" (Salimans-Ho velocity, the stable
+    # target for progressive distillation) | "x0" (direct data prediction).
+    "prediction_type": "noise",
 }
 
 

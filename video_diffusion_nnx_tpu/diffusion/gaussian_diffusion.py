@@ -158,12 +158,27 @@ class GaussianDiffusion(nnx.Module):
         loss_type: str = "l1",
         use_dynamic_thres: bool = False,
         dynamic_thres_percentile: float = 0.9,
+        prediction_type: str = "noise",
     ):
         self.channels = channels
         self.image_size = image_size
         self.num_frames = num_frames
         self.denoise_fn = denoise_fn
         self.loss_type = loss_type
+        # What the denoiser's output parameterizes (all samplers convert
+        # through _model_out_to_x0_eps, so every sampler works with every
+        # parameterization):
+        #   "noise" — epsilon prediction, the reference's (only) convention;
+        #   "v"     — velocity prediction, v = alpha*eps - sigma*x0
+        #             (Salimans & Ho 2022) — the stable target for
+        #             progressive distillation, where at the student's
+        #             terminal SNR an eps target carries no signal about x0;
+        #   "x0"    — direct clean-data prediction.
+        if prediction_type not in ("noise", "v", "x0"):
+            raise ValueError(
+                f"prediction_type must be 'noise', 'v', or 'x0'; got {prediction_type!r}"
+            )
+        self.prediction_type = prediction_type
         self.text_use_bert_cls = text_use_bert_cls
         self.use_dynamic_thres = use_dynamic_thres
         self.dynamic_thres_percentile = dynamic_thres_percentile
@@ -218,6 +233,44 @@ class GaussianDiffusion(nnx.Module):
             - extract(self.sqrt_recipm1_alphas_cumprod[...], t, x_t.shape) * noise
         )
 
+    def predict_v(self, x_start: jax.Array, t: jax.Array, noise: jax.Array) -> jax.Array:
+        """v = alpha_t * eps - sigma_t * x0 (Salimans & Ho 2022, eq. 8) —
+        the angular velocity of (x_t, t) along the noising trajectory."""
+        return (
+            extract(self.sqrt_alphas_cumprod[...], t, x_start.shape) * noise
+            - extract(self.sqrt_one_minus_alphas_cumprod[...], t, x_start.shape) * x_start
+        )
+
+    def predict_start_from_v(self, x_t: jax.Array, t: jax.Array, v: jax.Array) -> jax.Array:
+        """x0 = alpha_t * x_t - sigma_t * v (inverse of predict_v given x_t)."""
+        return (
+            extract(self.sqrt_alphas_cumprod[...], t, x_t.shape) * x_t
+            - extract(self.sqrt_one_minus_alphas_cumprod[...], t, x_t.shape) * v
+        )
+
+    def _model_out_to_x0_eps(self, x_t: jax.Array, t: jax.Array, model_out: jax.Array):
+        """Convert the denoiser's output to ``(x0, eps)`` under
+        ``self.prediction_type`` — the single place parameterization enters
+        the reverse process, so every sampler (DDPM/DDIM/DPM-Solver++)
+        supports every parameterization."""
+        if self.prediction_type == "noise":
+            x0 = self.predict_start_from_noise(x_t, t=t, noise=model_out)
+            return x0, model_out
+        if self.prediction_type == "v":
+            x0 = self.predict_start_from_v(x_t, t=t, v=model_out)
+            eps = (
+                extract(self.sqrt_alphas_cumprod[...], t, x_t.shape) * model_out
+                + extract(self.sqrt_one_minus_alphas_cumprod[...], t, x_t.shape) * x_t
+            )
+            return x0, eps
+        # x0-prediction: eps = (x_t - alpha_t * x0) / sigma_t. sigma_t > 0
+        # for every t in the schedule (the cosine betas are clipped below
+        # 0.9999 but alpha_cumprod < 1 everywhere, reference utils.py:252).
+        x0 = model_out
+        sigma = extract(self.sqrt_one_minus_alphas_cumprod[...], t, x_t.shape)
+        alpha = extract(self.sqrt_alphas_cumprod[...], t, x_t.shape)
+        return x0, (x_t - alpha * x0) / sigma
+
     def q_posterior(self, x_start: jax.Array, x_t: jax.Array, t: jax.Array):
         """Mean/var/clipped-log-var of q(x_{t-1} | x_t, x_0) (reference :139-159)."""
         posterior_mean = (
@@ -243,11 +296,11 @@ class GaussianDiffusion(nnx.Module):
         cond_scale: float = 1.0,
     ):
         """Reverse-step distribution via the denoiser (reference :162-228)."""
-        eps_bfhwc = self.denoise_fn.forward_with_cond_scale(
+        out_bfhwc = self.denoise_fn.forward_with_cond_scale(
             x, t, cond=cond, cond_scale=cond_scale
         )
-        predicted_noise = rearrange(eps_bfhwc, "b f h w c -> b c f h w")
-        x_recon = self.predict_start_from_noise(x, t=t, noise=predicted_noise)
+        model_out = rearrange(out_bfhwc, "b f h w c -> b c f h w")
+        x_recon, _ = self._model_out_to_x0_eps(x, t, model_out)
 
         if clip_denoised:
             s = 1.0
@@ -380,11 +433,11 @@ class GaussianDiffusion(nnx.Module):
                 key, step_key = jax.random.split(key)
                 t_arr = jnp.full((batch_size,), t, jnp.int32)
 
-                eps = model.denoise_fn.forward_with_cond_scale(
+                out = model.denoise_fn.forward_with_cond_scale(
                     img, t_arr, cond=cond, cond_scale=cs
                 )
-                eps = rearrange(eps, "b f h w c -> b c f h w")
-                x0 = model.predict_start_from_noise(img, t=t_arr, noise=eps)
+                out = rearrange(out, "b f h w c -> b c f h w")
+                x0, _ = model._model_out_to_x0_eps(img, t_arr, out)
                 x0 = jnp.clip(x0, -1.0, 1.0)
 
                 a_t = acp[t]
@@ -488,11 +541,11 @@ class GaussianDiffusion(nnx.Module):
                 t, t_prev, i = step
                 t_arr = jnp.full((batch_size,), t, jnp.int32)
 
-                eps = model.denoise_fn.forward_with_cond_scale(
+                out = model.denoise_fn.forward_with_cond_scale(
                     img, t_arr, cond=cond, cond_scale=cs
                 )
-                eps = rearrange(eps, "b f h w c -> b c f h w")
-                x0 = model.predict_start_from_noise(img, t=t_arr, noise=eps)
+                out = rearrange(out, "b f h w c -> b c f h w")
+                x0, _ = model._model_out_to_x0_eps(img, t_arr, out)
                 x0 = jnp.clip(x0, -1.0, 1.0)
 
                 a_cur = acp[t]
@@ -652,13 +705,20 @@ class GaussianDiffusion(nnx.Module):
         # reference leaves those host-seeded, SURVEY §3.3 determinism hole);
         # with both probabilities at 0 (every parity surface) the key is
         # never consumed, so the reference PRNG chain is unchanged.
-        eps_bfhwc = self.denoise_fn(x_noisy, t, cond=cond, key=key, **kwargs)
-        predicted_noise = rearrange(eps_bfhwc, "b f h w c -> b c f h w")
+        out_bfhwc = self.denoise_fn(x_noisy, t, cond=cond, key=key, **kwargs)
+        model_out = rearrange(out_bfhwc, "b f h w c -> b c f h w")
+
+        if self.prediction_type == "noise":
+            target = noise
+        elif self.prediction_type == "v":
+            target = self.predict_v(x_start, t, noise)
+        else:  # "x0"
+            target = x_start
 
         if self.loss_type == "l1":
-            return jnp.mean(jnp.abs(predicted_noise - noise))
+            return jnp.mean(jnp.abs(model_out - target))
         if self.loss_type == "l2":
-            return jnp.mean((predicted_noise - noise) ** 2)
+            return jnp.mean((model_out - target) ** 2)
         raise ValueError(f"Unsupported loss type: {self.loss_type}")
 
     def __call__(self, x: jax.Array, key: jax.Array, *args: Any, **kwargs: Any) -> jax.Array:
