@@ -43,6 +43,11 @@ def parse_args() -> argparse.Namespace:
     )
     p.add_argument("--eta", type=float, default=0.0, help="DDIM stochasticity")
     p.add_argument(
+        "--grid", choices=("linspace", "stride"), default="linspace",
+        help="DDIM timestep grid; use 'stride' for progressively-distilled "
+             "checkpoints (the nested grid they were trained on)",
+    )
+    p.add_argument(
         "--text", type=str, action="append", default=None,
         help="text condition; repeat for per-sample prompts (needs a "
         "use_bert_text_cond model)",
@@ -99,6 +104,7 @@ def main() -> None:
         videos = model.ddim_sample(
             key, cond=cond, cond_scale=args.cond_scale,
             batch_size=args.batch_size, num_steps=args.num_steps, eta=args.eta,
+            grid=args.grid,
         )
     elif args.sampler == "dpm":
         log.info("DPM-Solver++(2M) sampling: %d steps", args.num_steps)

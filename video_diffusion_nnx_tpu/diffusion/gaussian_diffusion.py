@@ -69,6 +69,21 @@ def _cache_put(key, fn):
     return fn
 
 
+def sampling_times(num_timesteps: int, num_steps: int, grid: str = "linspace") -> jax.Array:
+    """Ascending timestep subsequence for strided samplers.
+
+    ``"linspace"``: endpoints included (the historical DDIM grid here).
+    ``"stride"``: ``t_i = (i+1) * T // N - 1`` — the nested family where
+    the N-step grid is a subset of the 2N-step grid whenever ``2N | T``;
+    progressive distillation trains the student exactly on this grid.
+    """
+    if grid == "linspace":
+        return jnp.linspace(0, num_timesteps - 1, num_steps).round().astype(jnp.int32)
+    if grid == "stride":
+        return (jnp.arange(1, num_steps + 1) * num_timesteps) // num_steps - 1
+    raise ValueError(f"grid must be 'linspace' or 'stride'; got {grid!r}")
+
+
 def _sampler_batch_spec(batch_size: int, mesh: Mesh) -> P:
     """Data-sharded batch spec, or replicated (with a warning) when the
     batch does not divide across the mesh's data axis."""
@@ -379,6 +394,7 @@ class GaussianDiffusion(nnx.Module):
         num_steps: int = 50,
         eta: float = 0.0,
         mesh: Mesh | None = None,
+        grid: str = "linspace",
     ) -> jax.Array:
         """DDIM sampling (Song et al. 2021) — a fast sampler beyond the
         reference's capabilities: 20-50 denoise steps instead of the full
@@ -386,6 +402,12 @@ class GaussianDiffusion(nnx.Module):
 
         Runs as one on-device ``lax.scan`` over a strided timestep
         subsequence, reusing the same trained denoiser and schedule buffers.
+
+        ``grid`` selects the timestep subsequence: ``"linspace"`` (default,
+        endpoints included) or ``"stride"`` (``t_i = (i+1)*T//N - 1`` — the
+        nested family where the N-step grid is every other point of the
+        2N-step grid, which is what progressive distillation trains on; use
+        it when sampling a distilled student).
         """
         if is_list_str(cond):
             cond = jnp.asarray(
@@ -406,7 +428,7 @@ class GaussianDiffusion(nnx.Module):
         et = float(eta)
         cache_key = (
             graphdef, shape, self.num_timesteps, num_steps, mesh, batch_spec, cs, et,
-            cond is not None,
+            cond is not None, grid,
         )
         cached = _cache_get(cache_key)
         if cached is not None:
@@ -414,10 +436,9 @@ class GaussianDiffusion(nnx.Module):
                 return cached(state, key)
             return cached(state, key, cond)
 
-        # Strided timestep subsequence T-1 -> 0 and its shifted successor
+        # Timestep subsequence T-1 -> 0 and its shifted successor
         # (prev index; -1 terminates at alpha_cumprod = 1).
-        times = jnp.linspace(0, self.num_timesteps - 1, num_steps).round().astype(jnp.int32)
-        times = times[::-1]
+        times = sampling_times(self.num_timesteps, num_steps, grid)[::-1]
         times_prev = jnp.concatenate([times[1:], jnp.array([-1], jnp.int32)])
         acp = self.alphas_cumprod[...]
 
