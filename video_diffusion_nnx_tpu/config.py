@@ -97,6 +97,9 @@ _UNET_DEFAULTS: dict[str, Any] = {
     "use_fused_attention": False,
     "use_fused_spatial_attention": False,
     "remat_blocks": False,
+    # w-conditioned time embedding for guidance-distilled models
+    # (training/guidance.py); False keeps init-RNG/checkpoint parity.
+    "guidance_embed": False,
 }
 
 # Mirrors the full GaussianDiffusion constructor surface (reference

@@ -100,6 +100,7 @@ class Unet3D(nnx.Module):
         use_fused_spatial_attention: bool = False,
         remat_blocks: bool = False,
         sequence_parallel_mesh=None,
+        guidance_embed: bool = False,
     ):
         self.channels = channels
         self.log_dims = log_dims
@@ -292,6 +293,25 @@ class Unet3D(nnx.Module):
             PointwiseConv(dim, out_dim, kernel_size=1, dtype=compute_dtype, rngs=rngs),
         )
 
+        # Guidance-scale conditioning (Meng et al. 2023, "On Distillation of
+        # Guided Diffusion Models") — capability beyond the reference: a
+        # w-embedding added to the time embedding lets ONE forward reproduce
+        # the CFG combination null + (cond - null)*w, removing guidance's 2x
+        # FLOP cost after distillation (training/guidance.py). Constructed
+        # LAST so every earlier RNG draw — and therefore init parity with
+        # the reference for all non-guidance configs — is unchanged; the
+        # final Linear starts at zero so a freshly grafted embedding is a
+        # no-op until trained.
+        self.has_guidance_embed = guidance_embed
+        if guidance_embed:
+            w_in = nnx.Linear(dim, time_dim, rngs=rngs)
+            w_out = nnx.Linear(time_dim, time_dim, rngs=rngs)
+            w_out.kernel[...] = jnp.zeros_like(w_out.kernel[...])
+            w_out.bias[...] = jnp.zeros_like(w_out.bias[...])
+            self.guidance_mlp = nnx.Sequential(
+                SinusoidalPosEmb(dim), w_in, nnx.gelu, w_out
+            )
+
     def forward_with_cond_scale(self, *args: Any, cond_scale: float = 2.0, **kwargs: Any) -> jax.Array:
         """Classifier-free guidance: ``null + (cond - null) * scale``.
 
@@ -305,6 +325,13 @@ class Unet3D(nnx.Module):
         batches where the chip is underutilized. Without conditioning (or at
         ``cond_scale == 1``) this is a single forward pass.
         """
+        if self.has_guidance_embed:
+            # Guidance-distilled model: the CFG combination is baked into
+            # the w-conditioned weights — ONE forward at any cond_scale
+            # (the 2x FLOP cost of guidance is gone, not just batched).
+            gs = jnp.full((args[0].shape[0],), cond_scale, jnp.float32)
+            return self(*args, null_cond_prob=0.0, guidance_scale=gs, **kwargs)
+
         if cond_scale == 1 or not self.has_cond:
             return self(*args, null_cond_prob=0.0, **kwargs)
 
@@ -494,6 +521,7 @@ class Unet3D(nnx.Module):
         *,
         key: jax.Array | None = None,
         null_cond_mask: jax.Array | None = None,
+        guidance_scale: jax.Array | None = None,
     ) -> jax.Array:
         """Denoise ``x`` of shape ``(b, c, f, h, w)``; returns ``(b, f, h, w, c)``.
 
@@ -525,6 +553,19 @@ class Unet3D(nnx.Module):
         r = x
 
         t = self.time_mlp(time)
+
+        if self.has_guidance_embed:
+            # w rides the sinusoidal embedding scaled into the frequency
+            # band the embedding resolves well (w in [1, 10] -> [100, 1000],
+            # the timestep range it was designed for). Unspecified w means
+            # "unguided", i.e. w = 1 — a value inside the training range —
+            # not a skipped pathway.
+            w = (
+                guidance_scale
+                if guidance_scale is not None
+                else jnp.ones((x.shape[0],), jnp.float32)
+            )
+            t = t + self.guidance_mlp(w * 100.0)
 
         if self.has_cond:
             mask = (

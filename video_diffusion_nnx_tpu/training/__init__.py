@@ -5,6 +5,10 @@ from video_diffusion_nnx_tpu.training.distill import (
     distill_round,
     progressive_distill,
 )
+from video_diffusion_nnx_tpu.training.guidance import (
+    guidance_distill,
+    transfer_teacher_params,
+)
 from video_diffusion_nnx_tpu.training.metrics import (
     JsonlSummaryWriter,
     create_summary_writer,
@@ -18,5 +22,7 @@ __all__ = [
     "build_distill_step",
     "create_summary_writer",
     "distill_round",
+    "guidance_distill",
     "progressive_distill",
+    "transfer_teacher_params",
 ]
