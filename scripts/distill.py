@@ -45,6 +45,12 @@ def parse_args():
         help="optimizer steps per halving round",
     )
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument(
+        "--w-min", type=float, default=1.0,
+        help="guidance-scale range for stage-2 distillation of a "
+             "guidance_embed checkpoint (ignored otherwise)",
+    )
+    p.add_argument("--w-max", type=float, default=8.0)
     p.add_argument("--batch-size", type=int, default=None,
                    help="default: trainer.train_batch_size from the config")
     p.add_argument("--seed", type=int, default=0)
@@ -92,15 +98,33 @@ def main() -> None:
             "step counts (Salimans & Ho 2022 §4)"
         )
 
+    # Stage 2 of Meng et al. 2023: a guidance_embed teacher (the output of
+    # scripts/distill_guidance.py) is distilled CONDITIONED, with a
+    # per-sample guidance scale w fed to teacher and student so the result
+    # stays steerable at any cond_scale.
+    conditioned = bool(getattr(teacher.denoise_fn, "has_guidance_embed", False))
+    w_range = (args.w_min, args.w_max) if conditioned else None
+
     tcfg = config["trainer"]
     batch_size = args.batch_size or tcfg["train_batch_size"]
     dataset_path = tcfg["dataset_path"]
+    collate_fn = None
     if Path(dataset_path).is_dir():
         from video_diffusion_nnx_tpu.data.gif_dataset import GifVideoDataset
 
         ds = GifVideoDataset(
             dataset_path, image_size=teacher.image_size, channels=teacher.channels,
             num_frames=teacher.num_frames, force_num_frames=True,
+            use_path_as_cond=conditioned,
+        )
+        if conditioned:
+            from video_diffusion_nnx_tpu.data.loader import collate_with_text_cond
+
+            collate_fn = collate_with_text_cond
+    elif conditioned:
+        raise SystemExit(
+            "error: a guidance_embed teacher needs a caption-conditioned GIF "
+            f"folder dataset; {dataset_path} is not a folder"
         )
     else:
         ds = MovingMNIST(
@@ -113,8 +137,13 @@ def main() -> None:
             f"error: dataset has {len(ds)} sequences < batch size {batch_size} "
             "(drop-last loader would yield nothing); lower --batch-size"
         )
-    log.info("dataset: %d sequences, batch %d", len(ds), batch_size)
-    data_iter = cycle(DataLoader(ds, batch_size=batch_size, seed=args.seed))
+    log.info(
+        "dataset: %d sequences, batch %d%s", len(ds), batch_size,
+        " (conditioned, w-range %s)" % (w_range,) if conditioned else "",
+    )
+    data_iter = cycle(
+        DataLoader(ds, batch_size=batch_size, seed=args.seed, collate_fn=collate_fn)
+    )
 
     out_dir = Path(args.output_path or Path(args.checkpoint_path).parent / "distilled")
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -143,6 +172,8 @@ def main() -> None:
         key=jax.random.PRNGKey(args.seed),
         learning_rate=args.lr,
         mesh=mesh if batch_size % max(mesh.shape.get("data", 1), 1) == 0 else None,
+        conditioned=conditioned,
+        w_range=w_range,
         on_round_end=save_round,
     )
     log.info("distillation done: final student samples in %d steps", final_steps)

@@ -76,9 +76,29 @@ def _gather_acp(acp: jax.Array, t: jax.Array, ndim: int) -> tuple[jax.Array, jax
     return jnp.sqrt(a), jnp.sqrt(jnp.maximum(1.0 - a, 0.0))
 
 
-def _model_x0(model: GaussianDiffusion, x: jax.Array, t: jax.Array, clip: bool) -> jax.Array:
-    """Denoiser forward -> x0 prediction under the model's prediction_type."""
-    out = model.denoise_fn.forward_with_cond_scale(x, t)
+def _model_x0(
+    model: GaussianDiffusion,
+    x: jax.Array,
+    t: jax.Array,
+    clip: bool,
+    cond: jax.Array | None = None,
+    w: jax.Array | None = None,
+) -> jax.Array:
+    """Denoiser forward -> x0 prediction under the model's prediction_type.
+
+    ``cond``/``w`` thread conditioning and a PER-SAMPLE guidance scale into
+    a ``guidance_embed`` model (stage 2 of Meng et al. 2023: progressively
+    distilling the w-conditioned student). A per-sample w only makes sense
+    on such a model — the vanilla CFG combination takes a scalar scale —
+    so that is the supported shape here."""
+    kwargs = {}
+    if cond is not None:
+        kwargs["cond"] = cond
+    if w is not None:
+        kwargs["guidance_scale"] = w
+        out = model.denoise_fn(x, t, null_cond_prob=0.0, **kwargs)
+    else:
+        out = model.denoise_fn.forward_with_cond_scale(x, t, **kwargs)
     out = rearrange(out, "b f h w c -> b c f h w")
     x0, _ = model._model_out_to_x0_eps(x, t, out)
     return jnp.clip(x0, -1.0, 1.0) if clip else x0
@@ -99,14 +119,19 @@ def distill_targets(
     t_mid: jax.Array,
     t_next: jax.Array,
     clip_denoised: bool = True,
+    cond: jax.Array | None = None,
+    w: jax.Array | None = None,
 ) -> jax.Array:
     """Two teacher DDIM steps ``t -> t_mid -> t_next``, solved for the x0
     target that one student step must predict. Differentiation never flows
     through the teacher (targets are stop-gradient)."""
     acp = teacher.alphas_cumprod[...]
-    x_mid = _ddim_jump(acp, x_t, _model_x0(teacher, x_t, t, clip_denoised), t, t_mid)
+    x_mid = _ddim_jump(
+        acp, x_t, _model_x0(teacher, x_t, t, clip_denoised, cond, w), t, t_mid
+    )
     x_next = _ddim_jump(
-        acp, x_mid, _model_x0(teacher, x_mid, t_mid, clip_denoised), t_mid, t_next
+        acp, x_mid, _model_x0(teacher, x_mid, t_mid, clip_denoised, cond, w),
+        t_mid, t_next,
     )
     a_t, s_t = _gather_acp(acp, t, x_t.ndim)
     a_n, s_n = _gather_acp(acp, t_next, x_t.ndim)
@@ -134,41 +159,62 @@ def build_distill_step(
     student_steps: int,
     mesh: Mesh | None = None,
     clip_denoised: bool = True,
+    conditioned: bool = False,
+    w_range: tuple[float, float] | None = None,
 ) -> Callable:
     """One jitted distillation step.
 
     Returns ``step(student_state, opt_state, teacher_state, batch, key) ->
     (student_state, opt_state, loss)`` with the student state donated.
     ``batch`` is raw data in the dataset's range (``normalize_img`` is
-    applied inside, matching the trainer's step).
+    applied inside, matching the trainer's step); when ``conditioned`` it
+    is a ``(clips, cond)`` pair instead.
+
+    ``w_range`` enables stage 2 of Meng et al. 2023: teacher AND student
+    must be ``guidance_embed`` models (stage-1 output); a per-sample
+    guidance scale ``w ~ U[w_range]`` is fed to both, so the student stays
+    w-conditioned while its step count halves.
     """
     tN, t2N = nested_grids(num_timesteps, student_steps)
 
-    def loss_fn(s_state, t_state, x0, key):
+    def loss_fn(s_state, t_state, x0, cond, key):
         student: GaussianDiffusion = nnx.merge(graphdef, s_state)
         teacher: GaussianDiffusion = nnx.merge(graphdef, t_state)
         b = x0.shape[0]
-        i_key, eps_key = jax.random.split(key)
+        i_key, eps_key, w_key = jax.random.split(key, 3)
         i = jax.random.randint(i_key, (b,), 0, student_steps)
         t = tN[i]
         t_mid = t2N[2 * i]
         t_next = jnp.where(i > 0, tN[jnp.maximum(i - 1, 0)], -1)
+        gw = (
+            jax.random.uniform(
+                w_key, (b,), minval=float(w_range[0]), maxval=float(w_range[1])
+            )
+            if w_range is not None
+            else None
+        )
 
         eps = jax.random.normal(eps_key, x0.shape)
         acp = teacher.alphas_cumprod[...]
         a_t, s_t = _gather_acp(acp, t, x0.ndim)
         x_t = a_t * x0 + s_t * eps
 
-        x_tilde = distill_targets(teacher, x_t, t, t_mid, t_next, clip_denoised)
-        x0_hat = _model_x0(student, x_t, t, clip=False)
+        x_tilde = distill_targets(
+            teacher, x_t, t, t_mid, t_next, clip_denoised, cond=cond, w=gw
+        )
+        x0_hat = _model_x0(student, x_t, t, clip=False, cond=cond, w=gw)
 
         # Truncated SNR weighting: max(1, alpha^2/sigma^2) in x0 space.
         w = jnp.maximum(1.0, (a_t**2) / (s_t**2))
         return jnp.mean(w * (x0_hat - x_tilde) ** 2)
 
     def step(s_state, opt_state, t_state, batch, key):
+        if conditioned:
+            batch, cond = batch
+        else:
+            cond = None
         x0 = normalize_img(batch)
-        loss, grads = jax.value_and_grad(loss_fn)(s_state, t_state, x0, key)
+        loss, grads = jax.value_and_grad(loss_fn)(s_state, t_state, x0, cond, key)
         updates, opt_state = tx.update(grads, opt_state, s_state)
         s_state = optax.apply_updates(s_state, updates)
         return s_state, opt_state, loss
@@ -176,9 +222,10 @@ def build_distill_step(
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        batch_sh = (data, data) if conditioned else data
         return jax.jit(
             step,
-            in_shardings=(repl, repl, repl, data, repl),
+            in_shardings=(repl, repl, repl, batch_sh, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
@@ -197,6 +244,8 @@ def distill_round(
     learning_rate: float = 1e-4,
     mesh: Mesh | None = None,
     clip_denoised: bool = True,
+    conditioned: bool = False,
+    w_range: tuple[float, float] | None = None,
     log_every: int = 50,
     log_fn: Callable[[int, float], None] | None = None,
 ) -> PyTree:
@@ -206,7 +255,7 @@ def distill_round(
     tx = optax.adam(learning_rate)
     step_fn = build_distill_step(
         graphdef, tx, num_timesteps, student_steps, mesh=mesh,
-        clip_denoised=clip_denoised,
+        clip_denoised=clip_denoised, conditioned=conditioned, w_range=w_range,
     )
     student_state = copy_state(teacher_state)
     opt_state = tx.init(student_state)
@@ -238,6 +287,8 @@ def progressive_distill(
     learning_rate: float = 1e-4,
     mesh: Mesh | None = None,
     clip_denoised: bool = True,
+    conditioned: bool = False,
+    w_range: tuple[float, float] | None = None,
     on_round_end: Callable[[int, PyTree], None] | None = None,
 ) -> tuple[PyTree, int]:
     """Full progressive-distillation schedule.
@@ -267,6 +318,8 @@ def progressive_distill(
             learning_rate=learning_rate,
             mesh=mesh,
             clip_denoised=clip_denoised,
+            conditioned=conditioned,
+            w_range=w_range,
         )
         if on_round_end is not None:
             on_round_end(steps, state)
