@@ -115,6 +115,24 @@ def main() -> None:
     dpm_s = min(timed_dpm(i + 1) for i in range(3))
     print(f"[dpm-20] best: {dpm_s:.3f}s", file=sys.stderr)
 
+    # Progressive-distillation sampler cost: 4-step stride-grid DDIM — the
+    # exact program a 2-round-distilled student runs (training/distill.py).
+    # Wall-clock is parameterization-independent, so this measures the
+    # distilled sampler's true cost; sample QUALITY at 4 steps additionally
+    # needs the distillation training.
+    def timed_d4(seed: int) -> float:
+        t0 = time.perf_counter()
+        out = prod.ddim_sample(
+            key=jax.random.PRNGKey(seed), batch_size=batch, num_steps=4,
+            grid="stride",
+        )
+        assert float(jnp.mean(out)) == float(jnp.mean(out))
+        return time.perf_counter() - t0
+
+    timed_d4(0)  # compile
+    d4_s = min(timed_d4(i + 1) for i in range(3))
+    print(f"[distilled-4] best: {d4_s:.3f}s", file=sys.stderr)
+
     # Training throughput + MFU at the v2_2 recipe (batch 4, 10 frames,
     # bf16 compute): one full fwd+bwd+Adam+EMA step.
     import optax
@@ -256,6 +274,7 @@ def main() -> None:
         "bf16_fused_s": round(fused_s, 3),
         "ddim_50step_s": round(ddim_s, 3),
         "dpm_solver_20step_s": round(dpm_s, 3),
+        "distilled_4step_sampler_s": round(d4_s, 3),
         "train_step_v2_2_b4_bf16_ms": round(train_s * 1000, 1),
         "train_steps_per_sec_per_chip": round(1.0 / train_s, 2),
         "train_step_composite_ms": round(train_comp_s * 1000, 1),
