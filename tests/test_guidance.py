@@ -202,3 +202,35 @@ class TestConfig:
             },
         })
         assert unet.has_guidance_embed
+
+
+class TestShardedGuidanceDistill:
+    def test_step_runs_on_data_mesh(self):
+        """The guidance-distill step's (data, data) batch sharding compiles
+        and runs over 8 virtual devices."""
+        import optax
+
+        from video_diffusion_nnx_tpu.parallel import data_parallel_mesh
+        from video_diffusion_nnx_tpu.training.distill import copy_state
+        from video_diffusion_nnx_tpu.training.guidance import (
+            build_guidance_distill_step,
+        )
+
+        teacher = _make(False)
+        student = _make(True, seed=1)
+        s_graphdef, _ = nnx.split(student)
+        t_graphdef, t_state = nnx.split(teacher)
+        s_state = transfer_teacher_params(student, t_state)
+        tx = optax.adam(1e-3)
+        step = build_guidance_distill_step(
+            s_graphdef, t_graphdef, tx, teacher.num_timesteps,
+            mesh=data_parallel_mesh(8),
+        )
+        opt_state = tx.init(s_state)
+        clips = jax.random.uniform(jax.random.PRNGKey(0), (8, C, F, H, W))
+        cond = jax.random.normal(jax.random.PRNGKey(1), (8, COND_DIM))
+        s_state, opt_state, loss = step(
+            s_state, opt_state, copy_state(t_state), clips, cond,
+            jax.random.PRNGKey(2),
+        )
+        assert np.isfinite(float(loss))
