@@ -67,7 +67,6 @@ def main() -> None:
 
     import jax
     import orbax.checkpoint as ocp
-    from flax import nnx
 
     from video_diffusion_nnx_tpu.config import build_models, load_config
     from video_diffusion_nnx_tpu.data.loader import DataLoader
@@ -150,7 +149,6 @@ def main() -> None:
     manager = ocp.CheckpointManager(
         out_dir.resolve(), options=ocp.CheckpointManagerOptions(create=True)
     )
-    graphdef, _ = nnx.split(teacher)
 
     def save_round(n_steps: int, state) -> None:
         # step number == sampler step count; both slots carry the student

@@ -124,10 +124,10 @@ class TestDistillStep:
         tx = optax.adam(1e-3)
         step = build_distill_step(graphdef, tx, diff.num_timesteps, 4)
 
-        from video_diffusion_nnx_tpu.training.distill import copy_state
+        from video_diffusion_nnx_tpu.training.distill import copy_state, split_trainable
 
         s_state = copy_state(state)
-        opt_state = tx.init(s_state)
+        opt_state = tx.init(split_trainable(s_state)[0])
         batch = jax.random.uniform(jax.random.PRNGKey(0), SHAPE)  # [0,1] data
         losses = []
         for n in range(12):
@@ -176,7 +176,7 @@ class TestStage2GuidanceProgressive:
         import optax
 
         from video_diffusion_nnx_tpu.models import Unet3D
-        from video_diffusion_nnx_tpu.training.distill import copy_state
+        from video_diffusion_nnx_tpu.training.distill import copy_state, split_trainable
 
         COND_DIM = 16
         unet = Unet3D(
@@ -194,7 +194,7 @@ class TestStage2GuidanceProgressive:
             conditioned=True, w_range=(1.0, 4.0),
         )
         s_state = copy_state(state)
-        opt_state = tx.init(s_state)
+        opt_state = tx.init(split_trainable(s_state)[0])
         clips = jax.random.uniform(jax.random.PRNGKey(0), SHAPE)
         cond = jax.random.normal(jax.random.PRNGKey(1), (B, COND_DIM))
         losses = []
@@ -223,7 +223,7 @@ class TestShardedDistill:
         import optax
 
         from video_diffusion_nnx_tpu.parallel import data_parallel_mesh
-        from video_diffusion_nnx_tpu.training.distill import copy_state
+        from video_diffusion_nnx_tpu.training.distill import copy_state, split_trainable
 
         diff = _tiny_unet_diffusion("v")
         graphdef, state = nnx.split(diff)
@@ -236,7 +236,7 @@ class TestShardedDistill:
         for tag, mesh in (("single", None), ("dp8", data_parallel_mesh(8))):
             step = build_distill_step(graphdef, tx, diff.num_timesteps, 4, mesh=mesh)
             s_state = copy_state(state)
-            opt_state = tx.init(s_state)
+            opt_state = tx.init(split_trainable(s_state)[0])
             traj = []
             for _ in range(3):
                 s_state, opt_state, loss = step(s_state, opt_state, state, batch, key)
@@ -253,7 +253,7 @@ class TestShardedDistill:
 
         from video_diffusion_nnx_tpu.models import Unet3D
         from video_diffusion_nnx_tpu.parallel import data_parallel_mesh
-        from video_diffusion_nnx_tpu.training.distill import copy_state
+        from video_diffusion_nnx_tpu.training.distill import copy_state, split_trainable
 
         COND_DIM = 16
         unet = Unet3D(
@@ -271,10 +271,53 @@ class TestShardedDistill:
             mesh=data_parallel_mesh(8), conditioned=True, w_range=(1.0, 4.0),
         )
         s_state = copy_state(state)
-        opt_state = tx.init(s_state)
+        opt_state = tx.init(split_trainable(s_state)[0])
         clips = jax.random.uniform(jax.random.PRNGKey(0), (8, C, F, H, W))
         cond = jax.random.normal(jax.random.PRNGKey(1), (8, COND_DIM))
         s_state, opt_state, loss = step(
             s_state, opt_state, state, (clips, cond), jax.random.PRNGKey(2)
         )
         assert np.isfinite(float(loss))
+
+
+class TestBufferFreeze:
+    def test_distill_step_leaves_schedule_buffers_untouched(self):
+        """The distill step must optimize nnx.Param leaves ONLY: the
+        schedule nnx.Variable buffers receive real gradients through the
+        x0/eps conversions, and an unfiltered optimizer would drift the
+        student's noise schedule away from the teacher's every step
+        (compounding across progressive rounds)."""
+        import optax
+
+        from video_diffusion_nnx_tpu.training.distill import copy_state, split_trainable
+
+        diff = _tiny_unet_diffusion("v")
+        graphdef, state = nnx.split(diff)
+        tx = optax.adam(1e-2)  # large LR: any drift is glaring
+        step = build_distill_step(graphdef, tx, diff.num_timesteps, 4)
+        s_state = copy_state(state)
+        opt_state = tx.init(split_trainable(s_state)[0])
+        batch = jax.random.uniform(jax.random.PRNGKey(0), SHAPE)
+        for _ in range(3):
+            s_state, opt_state, _ = step(
+                s_state, opt_state, state, batch, jax.random.PRNGKey(1)
+            )
+        before = dict(state.flat_state())
+        after = dict(s_state.flat_state())
+        for path in (
+            ("alphas_cumprod",),
+            ("sqrt_alphas_cumprod",),
+            ("sqrt_one_minus_alphas_cumprod",),
+            ("posterior_mean_coef1",),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(after[path].value), np.asarray(before[path].value),
+                err_msg=f"schedule buffer {path} drifted",
+            )
+        # ...and the actual parameters DID move.
+        moved = any(
+            not np.array_equal(np.asarray(after[p].value), np.asarray(v.value))
+            for p, v in before.items()
+            if "alphas" not in str(p) and "posterior" not in str(p)
+        )
+        assert moved, "no parameter changed — the step is inert"

@@ -130,6 +130,7 @@ class TestGuidanceDistill:
         descend (per-step random t/w would swamp 10 steps with variance)."""
         import optax
 
+        from video_diffusion_nnx_tpu.training.distill import split_trainable
         from video_diffusion_nnx_tpu.training.guidance import (
             build_guidance_distill_step,
         )
@@ -142,7 +143,7 @@ class TestGuidanceDistill:
         step = build_guidance_distill_step(
             s_graphdef, t_graphdef, tx, teacher.num_timesteps, w_range=(1.0, 4.0)
         )
-        opt_state = tx.init(s_state)
+        opt_state = tx.init(split_trainable(s_state)[0])
         batch = jax.random.uniform(jax.random.PRNGKey(0), SHAPE)
         cond = jax.random.normal(jax.random.PRNGKey(1), (B, COND_DIM))
         losses = []
@@ -211,7 +212,7 @@ class TestShardedGuidanceDistill:
         import optax
 
         from video_diffusion_nnx_tpu.parallel import data_parallel_mesh
-        from video_diffusion_nnx_tpu.training.distill import copy_state
+        from video_diffusion_nnx_tpu.training.distill import copy_state, split_trainable
         from video_diffusion_nnx_tpu.training.guidance import (
             build_guidance_distill_step,
         )
@@ -226,7 +227,7 @@ class TestShardedGuidanceDistill:
             s_graphdef, t_graphdef, tx, teacher.num_timesteps,
             mesh=data_parallel_mesh(8),
         )
-        opt_state = tx.init(s_state)
+        opt_state = tx.init(split_trainable(s_state)[0])
         clips = jax.random.uniform(jax.random.PRNGKey(0), (8, C, F, H, W))
         cond = jax.random.normal(jax.random.PRNGKey(1), (8, COND_DIM))
         s_state, opt_state, loss = step(

@@ -391,3 +391,45 @@ class TestLogCadence:
         logged = []
         tr.train(log_fn=lambda d: logged.append(d["step"]))
         assert logged == [0, 3]
+
+
+class TestScheduleBufferFreeze:
+    """PARITY.md #11: the reference's full-state Adam drifts the schedule
+    buffers; `freeze_schedule_buffers=True` is the opt-in fix."""
+
+    @staticmethod
+    def _buffers(state):
+        flat = dict(state.flat_state())
+        return {
+            p: np.asarray(v.value)
+            for p, v in flat.items()
+            if "alphas_cumprod" in str(p) or "posterior" in str(p)
+        }
+
+    def test_default_drifts_buffers_reference_parity(self, npy_path, tmp_path):
+        tr = make_trainer(npy_path, tmp_path, train_num_steps=2)
+        before = self._buffers(tr.state.params)
+        tr.train()
+        after = self._buffers(tr.state.params)
+        drifted = any(
+            not np.array_equal(before[p], after[p]) for p in before
+        )
+        assert drifted, "expected reference-parity buffer drift by default"
+
+    def test_freeze_keeps_buffers_exact(self, npy_path, tmp_path):
+        tr = make_trainer(
+            npy_path, tmp_path, train_num_steps=2, freeze_schedule_buffers=True
+        )
+        before = self._buffers(tr.state.params)
+        tr.train()
+        after = self._buffers(tr.state.params)
+        for p in before:
+            np.testing.assert_array_equal(
+                before[p], after[p], err_msg=f"buffer {p} drifted despite freeze"
+            )
+        # And training still trains: params moved.
+        flat_before = {
+            p: np.asarray(v.value)
+            for p, v in dict(tr.state.ema_params.flat_state()).items()
+        }
+        assert any("kernel" in str(p) for p in flat_before)

@@ -67,6 +67,9 @@ _TRAINER_DEFAULTS: dict[str, Any] = {
     "fsdp_min_size_to_shard": 2**14,
     # CFG conditioning dropout during training (0 = reference parity).
     "null_cond_prob": 0.0,
+    # True stops the optimizer from drifting the diffusion-schedule buffers
+    # (PARITY.md #11); False reproduces the reference's full-state Adam.
+    "freeze_schedule_buffers": False,
 }
 
 # Trainer keys that are legitimate in YAML but have no constructor default

@@ -732,7 +732,14 @@ class GaussianDiffusion(nnx.Module):
         if self.prediction_type == "noise":
             target = noise
         elif self.prediction_type == "v":
-            target = self.predict_v(x_start, t, noise)
+            # stop_gradient: the target is supervision, not a function to
+            # differentiate — without it the v target's schedule-buffer
+            # dependence would add a second gradient path into the
+            # nnx.Variable buffers under a full-state optimizer (the
+            # reference's trainer optimizes the full state; PARITY.md #11).
+            # No-op for the "noise" branch (the target has no such deps),
+            # so reference-parity gradients are untouched.
+            target = jax.lax.stop_gradient(self.predict_v(x_start, t, noise))
         else:  # "x0"
             target = x_start
 

@@ -68,6 +68,18 @@ def copy_state(state: PyTree) -> PyTree:
     return jax.tree.map(jnp.copy, state)
 
 
+def split_trainable(state):
+    """Split a full module state into (trainable nnx.Param, frozen rest).
+
+    The rest is the diffusion schedule ``nnx.Variable`` buffers — they are
+    *constants* of the noising process and must NOT receive optimizer
+    updates. (The reference's trainer differentiates its full state, so its
+    schedule buffers drift during training — see PARITY.md #11; the
+    distillation steps here optimize Param leaves only.)
+    """
+    return nnx.split_state(state, nnx.Param, ...)
+
+
 def _gather_acp(acp: jax.Array, t: jax.Array, ndim: int) -> tuple[jax.Array, jax.Array]:
     """(alpha, sigma) at per-sample timesteps ``t``; ``t = -1`` means clean
     data (alpha=1, sigma=0). Broadcast to ``ndim`` trailing axes."""
@@ -98,7 +110,12 @@ def _model_x0(
         kwargs["guidance_scale"] = w
         out = model.denoise_fn(x, t, null_cond_prob=0.0, **kwargs)
     else:
-        out = model.denoise_fn.forward_with_cond_scale(x, t, **kwargs)
+        # cond_scale=1 => ONE plain (possibly conditioned) forward — the
+        # same function ddim_sample evaluates at its default scale, so
+        # the distilled student is trained on exactly what it samples.
+        # (forward_with_cond_scale's default of 2.0 would silently distill
+        # a CFG-at-2 chain for conditioned non-guidance models.)
+        out = model.denoise_fn.forward_with_cond_scale(x, t, cond_scale=1.0, **kwargs)
     out = rearrange(out, "b f h w c -> b c f h w")
     x0, _ = model._model_out_to_x0_eps(x, t, out)
     return jnp.clip(x0, -1.0, 1.0) if clip else x0
@@ -177,8 +194,8 @@ def build_distill_step(
     """
     tN, t2N = nested_grids(num_timesteps, student_steps)
 
-    def loss_fn(s_state, t_state, x0, cond, key):
-        student: GaussianDiffusion = nnx.merge(graphdef, s_state)
+    def loss_fn(s_params, s_rest, t_state, x0, cond, key):
+        student: GaussianDiffusion = nnx.merge(graphdef, s_params, s_rest)
         teacher: GaussianDiffusion = nnx.merge(graphdef, t_state)
         b = x0.shape[0]
         i_key, eps_key, w_key = jax.random.split(key, 3)
@@ -214,10 +231,17 @@ def build_distill_step(
         else:
             cond = None
         x0 = normalize_img(batch)
-        loss, grads = jax.value_and_grad(loss_fn)(s_state, t_state, x0, cond, key)
-        updates, opt_state = tx.update(grads, opt_state, s_state)
-        s_state = optax.apply_updates(s_state, updates)
-        return s_state, opt_state, loss
+        # Optimize nnx.Param leaves ONLY: the schedule buffers are process
+        # constants, and x0/eps conversions give them real gradients that
+        # would otherwise drift them (``opt_state`` is over the Param
+        # subtree — see tx.init in distill_round).
+        s_params, s_rest = split_trainable(s_state)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            s_params, s_rest, t_state, x0, cond, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, s_params)
+        s_params = optax.apply_updates(s_params, updates)
+        return nnx.merge_state(s_params, s_rest), opt_state, loss
 
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         repl = NamedSharding(mesh, P())
@@ -258,7 +282,7 @@ def distill_round(
         clip_denoised=clip_denoised, conditioned=conditioned, w_range=w_range,
     )
     student_state = copy_state(teacher_state)
-    opt_state = tx.init(student_state)
+    opt_state = tx.init(split_trainable(student_state)[0])
     for n in range(num_train_steps):
         key, step_key = jax.random.split(key)
         batch = next(data_iter)

@@ -36,7 +36,10 @@ from flax import nnx
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from video_diffusion_nnx_tpu.diffusion.gaussian_diffusion import GaussianDiffusion
-from video_diffusion_nnx_tpu.training.distill import _gather_acp, copy_state
+from video_diffusion_nnx_tpu.training.distill import (
+    _gather_acp,
+    split_trainable,
+)
 from video_diffusion_nnx_tpu.utils.image import normalize_img
 
 logger = logging.getLogger(__name__)
@@ -84,8 +87,8 @@ def build_guidance_distill_step(
     """
     w_lo, w_hi = float(w_range[0]), float(w_range[1])
 
-    def loss_fn(s_state, t_state, x0, cond, key):
-        student: GaussianDiffusion = nnx.merge(student_graphdef, s_state)
+    def loss_fn(s_params, s_rest, t_state, x0, cond, key):
+        student: GaussianDiffusion = nnx.merge(student_graphdef, s_params, s_rest)
         teacher: GaussianDiffusion = nnx.merge(teacher_graphdef, t_state)
         b = x0.shape[0]
         t_key, eps_key, w_key = jax.random.split(key, 3)
@@ -120,10 +123,16 @@ def build_guidance_distill_step(
 
     def step(s_state, opt_state, t_state, batch, cond, key):
         x0 = normalize_img(batch)
-        loss, grads = jax.value_and_grad(loss_fn)(s_state, t_state, x0, cond, key)
-        updates, opt_state = tx.update(grads, opt_state, s_state)
-        s_state = optax.apply_updates(s_state, updates)
-        return s_state, opt_state, loss
+        # Param-only optimization — the schedule buffers are constants of
+        # the process (see distill.split_trainable); ``opt_state`` is over
+        # the Param subtree.
+        s_params, s_rest = split_trainable(s_state)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            s_params, s_rest, t_state, x0, cond, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, s_params)
+        s_params = optax.apply_updates(s_params, updates)
+        return nnx.merge_state(s_params, s_rest), opt_state, loss
 
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         repl = NamedSharding(mesh, P())
@@ -172,8 +181,7 @@ def guidance_distill(
         student_graphdef, teacher_graphdef, tx, teacher.num_timesteps,
         w_range=w_range, mesh=mesh,
     )
-    opt_state = tx.init(student_state)
-    teacher_state = copy_state(teacher_state)
+    opt_state = tx.init(split_trainable(student_state)[0])
 
     for n in range(num_train_steps):
         key, step_key = jax.random.split(key)

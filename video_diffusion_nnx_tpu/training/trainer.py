@@ -123,9 +123,17 @@ class Trainer:
         sequence_parallel_size: int = 1,
         async_checkpointing: bool = False,
         null_cond_prob: float = 0.0,
+        freeze_schedule_buffers: bool = False,
     ):
         self.key = jax.random.PRNGKey(rng_seed)
         self.profile_flush_step = profile_flush_step
+        # Opt-in fix for PARITY.md #11: the reference differentiates and
+        # Adam-updates its FULL state, so the 10 diffusion-schedule
+        # nnx.Variable buffers receive real gradients through q_sample/
+        # extract and drift over training. True zeroes their gradients so
+        # the noise schedule stays the mathematical constant it is meant to
+        # be; False (default) reproduces the reference exactly.
+        self.freeze_schedule_buffers = freeze_schedule_buffers
 
         # EMA configuration (reference trainer.py:130-132).
         self.step_start_ema = step_start_ema
@@ -495,8 +503,17 @@ class Trainer:
             inv = 1.0 / accum
             return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, grad_sum)
 
+        freeze_buffers = self.freeze_schedule_buffers
+
         def train_step(state: NnxTrainState, batch_data, key, step):
             loss, grads = grads_of(state.params, batch_data, key)
+
+            if freeze_buffers:
+                # Zero non-Param gradients (schedule nnx.Variable buffers):
+                # Adam then leaves them exactly unchanged. See PARITY.md #11.
+                g_params, g_rest = nnx.split_state(grads, nnx.Param, ...)
+                g_rest = jax.tree_util.tree_map(jnp.zeros_like, g_rest)
+                grads = nnx.merge_state(g_params, g_rest)
 
             if max_grad_norm is not None:
                 grads, grad_norm = clip_grad_norm(grads, max_grad_norm)
