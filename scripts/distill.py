@@ -46,6 +46,11 @@ def parse_args():
     )
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument(
+        "--ema-decay", type=float, default=None,
+        help="EMA the student within each round and keep the average "
+             "(standard for distilled-student quality); default off",
+    )
+    p.add_argument(
         "--w-min", type=float, default=1.0,
         help="guidance-scale range for stage-2 distillation of a "
              "guidance_embed checkpoint (ignored otherwise)",
@@ -172,6 +177,7 @@ def main() -> None:
         mesh=mesh if batch_size % max(mesh.shape.get("data", 1), 1) == 0 else None,
         conditioned=conditioned,
         w_range=w_range,
+        ema_decay=args.ema_decay,
         on_round_end=save_round,
     )
     log.info("distillation done: final student samples in %d steps", final_steps)

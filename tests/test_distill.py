@@ -321,3 +321,46 @@ class TestBufferFreeze:
             if "alphas" not in str(p) and "posterior" not in str(p)
         )
         assert moved, "no parameter changed — the step is inert"
+
+
+class TestDistillEMA:
+    def test_ema_round_returns_averaged_params(self):
+        """ema_decay=0 => the returned params are the FIRST post-step EMA
+        seed-update chain's limit... with decay 0 the EMA tracks the raw
+        student exactly; with decay 1 it stays at the init. Both pins."""
+        import optax  # noqa: F401  (parity with sibling tests)
+
+        from video_diffusion_nnx_tpu.training.distill import (
+            distill_round,
+            split_trainable,
+        )
+
+        diff = _tiny_unet_diffusion("v")
+        graphdef, state = nnx.split(diff)
+
+        def data_iter():
+            while True:
+                yield jax.random.uniform(jax.random.PRNGKey(0), SHAPE)
+
+        common = dict(
+            num_timesteps=diff.num_timesteps, student_steps=4,
+            num_train_steps=2, key=jax.random.PRNGKey(1),
+            learning_rate=1e-3, log_every=0,
+        )
+        raw = distill_round(state, graphdef, data_iter(), **common)
+        ema0 = distill_round(state, graphdef, data_iter(), ema_decay=0.0, **common)
+        ema1 = distill_round(state, graphdef, data_iter(), ema_decay=1.0, **common)
+
+        raw_p = dict(split_trainable(raw)[0].flat_state())
+        ema0_p = dict(split_trainable(ema0)[0].flat_state())
+        ema1_p = dict(split_trainable(ema1)[0].flat_state())
+        init_p = dict(split_trainable(state)[0].flat_state())
+        for p in raw_p:
+            np.testing.assert_allclose(
+                np.asarray(ema0_p[p].value), np.asarray(raw_p[p].value), atol=1e-6,
+                err_msg=f"decay=0 EMA must track the raw student at {p}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ema1_p[p].value), np.asarray(init_p[p].value),
+                err_msg=f"decay=1 EMA must stay at init at {p}",
+            )

@@ -270,12 +270,18 @@ def distill_round(
     clip_denoised: bool = True,
     conditioned: bool = False,
     w_range: tuple[float, float] | None = None,
+    ema_decay: float | None = None,
     log_every: int = 50,
     log_fn: Callable[[int, float], None] | None = None,
 ) -> PyTree:
     """One halving round: train a student (init = teacher) whose
     ``student_steps``-step stride-grid DDIM matches the teacher's
-    ``2*student_steps``-step one. Returns the trained student state."""
+    ``2*student_steps``-step one. Returns the trained student state.
+
+    ``ema_decay`` maintains an exponential moving average of the student's
+    Param leaves and returns THAT as the round's result (standard practice
+    for distilled-student quality); ``None`` returns the raw student.
+    """
     tx = optax.adam(learning_rate)
     step_fn = build_distill_step(
         graphdef, tx, num_timesteps, student_steps, mesh=mesh,
@@ -283,12 +289,22 @@ def distill_round(
     )
     student_state = copy_state(teacher_state)
     opt_state = tx.init(split_trainable(student_state)[0])
+    ema_params = None
+    ema_update = None
+    if ema_decay is not None:
+        d = float(ema_decay)
+        ema_params = copy_state(split_trainable(student_state)[0])
+        ema_update = jax.jit(
+            lambda e, p: jax.tree.map(lambda a, b: d * a + (1.0 - d) * b, e, p)
+        )
     for n in range(num_train_steps):
         key, step_key = jax.random.split(key)
         batch = next(data_iter)
         student_state, opt_state, loss = step_fn(
             student_state, opt_state, teacher_state, batch, step_key
         )
+        if ema_update is not None:
+            ema_params = ema_update(ema_params, split_trainable(student_state)[0])
         if log_every and (n % log_every == 0 or n == num_train_steps - 1):
             loss_val = float(loss)
             logger.info(
@@ -297,6 +313,8 @@ def distill_round(
             )
             if log_fn is not None:
                 log_fn(n, loss_val)
+    if ema_params is not None:
+        return nnx.merge_state(ema_params, split_trainable(student_state)[1])
     return student_state
 
 
@@ -313,6 +331,7 @@ def progressive_distill(
     clip_denoised: bool = True,
     conditioned: bool = False,
     w_range: tuple[float, float] | None = None,
+    ema_decay: float | None = None,
     on_round_end: Callable[[int, PyTree], None] | None = None,
 ) -> tuple[PyTree, int]:
     """Full progressive-distillation schedule.
@@ -344,6 +363,7 @@ def progressive_distill(
             clip_denoised=clip_denoised,
             conditioned=conditioned,
             w_range=w_range,
+            ema_decay=ema_decay,
         )
         if on_round_end is not None:
             on_round_end(steps, state)
