@@ -1,0 +1,85 @@
+"""Sampling-server tests (scripts/serve.py): the HTTP surface runs the
+real samplers in-process on an ephemeral port."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+from flax import nnx
+
+from video_diffusion_nnx_tpu.diffusion import GaussianDiffusion
+from video_diffusion_nnx_tpu.models import Unet3D
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import serve as serve_mod
+
+    unet = Unet3D(dim=8, rngs=nnx.Rngs(0), dim_mults=(1,), channels=1, attn_heads=2)
+    model = GaussianDiffusion(
+        unet, image_size=8, num_frames=2, channels=1, timesteps=6, loss_type="l2"
+    )
+    httpd = serve_mod.create_server(model, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    host, port = httpd.server_address
+    yield f"http://{host}:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/sample",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+class TestServer:
+    def test_health(self, server_url):
+        with urllib.request.urlopen(server_url + "/health", timeout=30) as r:
+            info = json.loads(r.read())
+        assert info["status"] == "ok"
+        assert info["model"]["image_size"] == 8
+        assert info["model"]["timesteps"] == 6
+
+    def test_sample_ddim_returns_gifs(self, server_url):
+        out = _post(server_url, {
+            "batch_size": 2, "sampler": "ddim", "num_steps": 3, "seed": 1,
+        })
+        assert out["shape"] == [2, 1, 2, 8, 8]
+        assert len(out["gifs"]) == 2
+        for g in out["gifs"]:
+            raw = base64.b64decode(g)
+            assert raw[:6] in (b"GIF87a", b"GIF89a")
+        assert out["time_s"] > 0
+
+    def test_sample_stride_grid_and_dpm(self, server_url):
+        for payload in (
+            {"sampler": "ddim", "num_steps": 2, "grid": "stride"},
+            {"sampler": "dpm", "num_steps": 2},
+        ):
+            out = _post(server_url, payload)
+            assert len(out["gifs"]) == 1
+
+    def test_bad_request_400(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server_url, {"sampler": "karras"})
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert "sampler" in body["error"]
+
+    def test_unknown_path_404(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(server_url + "/nope", timeout=30)
+        assert ei.value.code == 404
