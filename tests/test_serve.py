@@ -83,3 +83,39 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(server_url + "/nope", timeout=30)
         assert ei.value.code == 404
+
+
+class TestConditionedServer:
+    def test_text_cond_sampling_over_http(self):
+        """A conditioned (guidance-capable) model serves text + cond_scale
+        through the same endpoint — single-forward CFG for a
+        guidance_embed model."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+        import serve as serve_mod
+
+        from video_diffusion_nnx_tpu.models.text import BERT_MODEL_DIM
+
+        unet = Unet3D(
+            dim=8, rngs=nnx.Rngs(0), dim_mults=(1,), channels=1, attn_heads=2,
+            cond_dim=BERT_MODEL_DIM, guidance_embed=True,
+        )
+        model = GaussianDiffusion(
+            unet, image_size=8, num_frames=2, channels=1, timesteps=4,
+            loss_type="l2",
+        )
+        httpd = serve_mod.create_server(model, host="127.0.0.1", port=0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            host, port = httpd.server_address
+            out = _post(f"http://{host}:{port}", {
+                "batch_size": 2, "sampler": "ddim", "num_steps": 2,
+                "text": ["a bouncing ball"], "cond_scale": 3.0,
+            })
+            assert out["shape"] == [2, 1, 2, 8, 8]
+            assert len(out["gifs"]) == 2
+        finally:
+            httpd.shutdown()
