@@ -133,6 +133,44 @@ def main() -> None:
     d4_s = min(timed_d4(i + 1) for i in range(3))
     print(f"[distilled-4] best: {d4_s:.3f}s", file=sys.stderr)
 
+    # Guided-sampling ladder: classifier-free guidance pays 2x FLOPs
+    # (batched 2b forward); a guidance-distilled (w-conditioned) student
+    # runs guided sampling in ONE forward. Timing is weight-independent,
+    # so random weights measure the true cost of each path.
+    from video_diffusion_nnx_tpu.models.text import BERT_MODEL_DIM
+
+    def build_cond(guidance_embed: bool):
+        unet = Unet3D(
+            dim=32, rngs=nnx.Rngs(0), dim_mults=(1, 2, 4, 8), channels=channels,
+            use_bert_text_cond=True, compute_dtype="bfloat16",
+            use_fused_attention=True, use_fused_spatial_attention=True,
+            guidance_embed=guidance_embed,
+        )
+        return GaussianDiffusion(
+            unet, image_size=size, num_frames=frames, channels=channels,
+            timesteps=steps, loss_type="l2",
+        )
+
+    cond = jax.random.normal(jax.random.PRNGKey(0), (batch, BERT_MODEL_DIM))
+
+    def timed_guided(model, seed: int) -> float:
+        t0 = time.perf_counter()
+        out = model.ddim_sample(
+            jax.random.PRNGKey(seed), cond=cond, cond_scale=3.0,
+            batch_size=batch, num_steps=50,
+        )
+        assert float(jnp.mean(out)) == float(jnp.mean(out))
+        return time.perf_counter() - t0
+
+    cfg_model = build_cond(False)
+    timed_guided(cfg_model, 0)
+    cfg_s = min(timed_guided(cfg_model, i + 1) for i in range(2))
+    print(f"[cfg ddim-50] best: {cfg_s:.3f}s", file=sys.stderr)
+    ge_model = build_cond(True)
+    timed_guided(ge_model, 0)
+    ge_s = min(timed_guided(ge_model, i + 1) for i in range(2))
+    print(f"[guidance-embed ddim-50] best: {ge_s:.3f}s", file=sys.stderr)
+
     # Training throughput + MFU at the v2_2 recipe (batch 4, 10 frames,
     # bf16 compute): one full fwd+bwd+Adam+EMA step.
     import optax
@@ -275,6 +313,8 @@ def main() -> None:
         "ddim_50step_s": round(ddim_s, 3),
         "dpm_solver_20step_s": round(dpm_s, 3),
         "distilled_4step_sampler_s": round(d4_s, 3),
+        "cfg_ddim50_s": round(cfg_s, 3),
+        "guidance_embed_ddim50_s": round(ge_s, 3),
         "train_step_v2_2_b4_bf16_ms": round(train_s * 1000, 1),
         "train_steps_per_sec_per_chip": round(1.0 / train_s, 2),
         "train_step_composite_ms": round(train_comp_s * 1000, 1),
