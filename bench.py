@@ -236,10 +236,14 @@ def main() -> None:
 
     # Long-clip (128-frame) train step: the blockwise (flash-style) temporal
     # kernels vs the XLA composite, which materializes the f x f attention
-    # panels in HBM. Guarded: a failure here must not cost the headline
-    # metric.
+    # panels in HBM. 64x64 spatial is the representative shape: the panel
+    # traffic scales with hw, so the fused win appears from ~64px up
+    # (measured: 166.9 vs 206.2 ms here; at 32x32 the two are neutral,
+    # 53.7 vs 51.1 — the kernels' value there is the VMEM-bounded
+    # capability, not speed). Guarded: a failure here must not cost the
+    # headline metric.
     def train_bench_long(fused: bool):
-        lc_batch, lc_frames, lc_size = 1, 128, 32
+        lc_batch, lc_frames, lc_size = 1, 128, 64
         unet = Unet3D(
             dim=32, rngs=nnx.Rngs(0), dim_mults=(1, 2, 4, 8), channels=channels,
             compute_dtype="bfloat16", use_fused_attention=fused,
