@@ -15,6 +15,8 @@ POST /sample  (JSON body) ->
     {"batch_size": 2, "sampler": "ddim", "num_steps": 50, "eta": 0.0,
      "grid": "linspace", "seed": 0, "text": ["a caption"], "cond_scale": 2.0}
     -> {"gifs": [<base64 GIF per clip>], "time_s": ..., "shape": [...]}
+    Default sampler: ddim (the path --warmup compiles). "ddpm" runs the
+    full T-step chain; knobs a sampler would ignore are rejected with 400.
 
 Requests are serialized behind a lock (one accelerator, one program at a
 time); repeated (shape, sampler) pairs reuse the compiled executable, so
@@ -70,9 +72,13 @@ class SamplingService:
         }
 
     def sample(self, req: dict) -> dict:
+        import math
+
         import jax
 
-        sampler = req.get("sampler", "ddpm")
+        # Default sampler is DDIM (the path --warmup compiles); DDPM runs
+        # the full T-step chain and must be asked for explicitly.
+        sampler = req.get("sampler", "ddim")
         if sampler not in _ALLOWED_SAMPLERS:
             raise ValueError(f"sampler must be one of {_ALLOWED_SAMPLERS}")
         batch_size = int(req.get("batch_size", 1))
@@ -81,18 +87,48 @@ class SamplingService:
         num_steps = int(req.get("num_steps", 50))
         if not 1 <= num_steps <= self.model.num_timesteps:
             raise ValueError(f"num_steps must be in [1, {self.model.num_timesteps}]")
+        # Reject knobs the chosen sampler would silently ignore — a
+        # validated-but-unused parameter misleads the client about what ran.
+        if sampler == "ddpm" and "num_steps" in req:
+            raise ValueError(
+                "ddpm runs the full timestep chain; num_steps applies to "
+                "ddim/dpm only"
+            )
+        if sampler != "ddim":
+            for k in ("eta", "grid"):
+                if k in req:
+                    raise ValueError(f"{k} applies to the ddim sampler only")
         grid = req.get("grid", "linspace")
         if grid not in ("linspace", "stride"):
             raise ValueError("grid must be 'linspace' or 'stride'")
         eta = float(req.get("eta", 0.0))
         seed = int(req.get("seed", 0))
         cond = req.get("text")
+        has_cond = bool(getattr(self.model.denoise_fn, "has_cond", False))
         if cond is not None:
+            if not has_cond:
+                raise ValueError("this model is unconditional; remove 'text'")
             if not isinstance(cond, list) or not all(isinstance(s, str) for s in cond):
                 raise ValueError("text must be a list of strings")
             if len(cond) == 1 and batch_size > 1:
                 cond = cond * batch_size
+            # The samplers infer batch size from cond — keep the cap honest.
+            if not 1 <= len(cond) <= 64:
+                raise ValueError("text must have 1..64 entries")
+            if len(cond) != batch_size and "batch_size" in req:
+                raise ValueError(
+                    f"text has {len(cond)} entries but batch_size is "
+                    f"{batch_size}; give one prompt, matching prompts, or "
+                    "drop batch_size"
+                )
+            batch_size = len(cond)
+        elif has_cond:
+            raise ValueError("this model is conditioned; provide 'text'")
         cond_scale = float(req.get("cond_scale", 1.0))
+        # NaN never compares equal, so it would miss (and pollute) the
+        # compiled-sampler LRU on every request; json.loads accepts it.
+        if not (math.isfinite(eta) and math.isfinite(cond_scale)):
+            raise ValueError("eta and cond_scale must be finite")
 
         key = jax.random.PRNGKey(seed)
         t0 = time.perf_counter()

@@ -119,3 +119,48 @@ class TestConditionedServer:
             assert len(out["gifs"]) == 2
         finally:
             httpd.shutdown()
+
+
+class TestValidation:
+    """The server rejects requests whose parameters would silently not run
+    as asked (reviewed failure modes)."""
+
+    def test_ddpm_rejects_num_steps(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server_url, {"sampler": "ddpm", "num_steps": 3})
+        assert ei.value.code == 400
+
+    def test_dpm_rejects_eta_and_grid(self, server_url):
+        for extra in ({"eta": 0.5}, {"grid": "stride"}):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(server_url, {"sampler": "dpm", "num_steps": 2, **extra})
+            assert ei.value.code == 400
+
+    def test_text_on_unconditional_model_400(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server_url, {"sampler": "ddim", "num_steps": 2, "text": ["x"]})
+        assert ei.value.code == 400
+
+    def test_nonfinite_eta_rejected(self, server_url):
+        # json.loads accepts NaN; a NaN in the sampler cache key would miss
+        # (and pollute) the compiled-executable LRU forever.
+        req = urllib.request.Request(
+            server_url + "/sample",
+            data=b'{"sampler": "ddim", "num_steps": 2, "eta": NaN}',
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+
+    def test_text_count_vs_batch_size_mismatch_400(self, server_url):
+        # Needs a conditioned model; the module fixture is unconditional,
+        # so use the validation path that fires first: text on uncond.
+        with pytest.raises(urllib.error.HTTPError):
+            _post(server_url, {"batch_size": 3, "text": ["a", "b"]})
+
+    def test_default_sampler_is_ddim(self, server_url):
+        # {} must run the warm DDIM path, not the full DDPM chain.
+        out = _post(server_url, {"num_steps": 2})
+        assert len(out["gifs"]) == 1

@@ -178,6 +178,7 @@ def build_distill_step(
     clip_denoised: bool = True,
     conditioned: bool = False,
     w_range: tuple[float, float] | None = None,
+    ema_decay: float | None = None,
 ) -> Callable:
     """One jitted distillation step.
 
@@ -191,6 +192,12 @@ def build_distill_step(
     must be ``guidance_embed`` models (stage-1 output); a per-sample
     guidance scale ``w ~ U[w_range]`` is fed to both, so the student stays
     w-conditioned while its step count halves.
+
+    ``ema_decay`` fuses the student-EMA update into the SAME program (one
+    dispatch per step, EMA buffers donated — matching the trainer's EMA
+    placement): the step becomes ``step(student_state, opt_state,
+    ema_params, teacher_state, batch, key) -> (student_state, opt_state,
+    ema_params, loss)`` with ``ema_params`` a Param-subtree pytree.
     """
     tN, t2N = nested_grids(num_timesteps, student_steps)
 
@@ -225,11 +232,7 @@ def build_distill_step(
         w = jnp.maximum(1.0, (a_t**2) / (s_t**2))
         return jnp.mean(w * (x0_hat - x_tilde) ** 2)
 
-    def step(s_state, opt_state, t_state, batch, key):
-        if conditioned:
-            batch, cond = batch
-        else:
-            cond = None
+    def _update(s_state, opt_state, batch, cond, key, t_state):
         x0 = normalize_img(batch)
         # Optimize nnx.Param leaves ONLY: the schedule buffers are process
         # constants, and x0/eps conversions give them real gradients that
@@ -241,7 +244,40 @@ def build_distill_step(
         )
         updates, opt_state = tx.update(grads, opt_state, s_params)
         s_params = optax.apply_updates(s_params, updates)
-        return nnx.merge_state(s_params, s_rest), opt_state, loss
+        return s_params, s_rest, opt_state, loss
+
+    if ema_decay is not None:
+        d = float(ema_decay)
+
+        def step(s_state, opt_state, ema_params, t_state, batch, key):
+            if conditioned:
+                batch, cond = batch
+            else:
+                cond = None
+            s_params, s_rest, opt_state, loss = _update(
+                s_state, opt_state, batch, cond, key, t_state
+            )
+            ema_params = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, ema_params, s_params
+            )
+            return nnx.merge_state(s_params, s_rest), opt_state, ema_params, loss
+
+        donate = (0, 1, 2)
+        n_repl_lead = 4  # s_state, opt_state, ema_params, t_state
+    else:
+
+        def step(s_state, opt_state, t_state, batch, key):
+            if conditioned:
+                batch, cond = batch
+            else:
+                cond = None
+            s_params, s_rest, opt_state, loss = _update(
+                s_state, opt_state, batch, cond, key, t_state
+            )
+            return nnx.merge_state(s_params, s_rest), opt_state, loss
+
+        donate = (0, 1)
+        n_repl_lead = 3
 
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         repl = NamedSharding(mesh, P())
@@ -249,11 +285,11 @@ def build_distill_step(
         batch_sh = (data, data) if conditioned else data
         return jax.jit(
             step,
-            in_shardings=(repl, repl, repl, batch_sh, repl),
-            out_shardings=(repl, repl, repl),
-            donate_argnums=(0, 1),
+            in_shardings=(repl,) * n_repl_lead + (batch_sh, repl),
+            out_shardings=(repl,) * (n_repl_lead - 1) + (repl,),
+            donate_argnums=donate,
         )
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=donate)
 
 
 def distill_round(
@@ -286,25 +322,24 @@ def distill_round(
     step_fn = build_distill_step(
         graphdef, tx, num_timesteps, student_steps, mesh=mesh,
         clip_denoised=clip_denoised, conditioned=conditioned, w_range=w_range,
+        ema_decay=ema_decay,
     )
     student_state = copy_state(teacher_state)
     opt_state = tx.init(split_trainable(student_state)[0])
-    ema_params = None
-    ema_update = None
-    if ema_decay is not None:
-        d = float(ema_decay)
-        ema_params = copy_state(split_trainable(student_state)[0])
-        ema_update = jax.jit(
-            lambda e, p: jax.tree.map(lambda a, b: d * a + (1.0 - d) * b, e, p)
-        )
+    ema_params = (
+        copy_state(split_trainable(student_state)[0]) if ema_decay is not None else None
+    )
     for n in range(num_train_steps):
         key, step_key = jax.random.split(key)
         batch = next(data_iter)
-        student_state, opt_state, loss = step_fn(
-            student_state, opt_state, teacher_state, batch, step_key
-        )
-        if ema_update is not None:
-            ema_params = ema_update(ema_params, split_trainable(student_state)[0])
+        if ema_params is not None:
+            student_state, opt_state, ema_params, loss = step_fn(
+                student_state, opt_state, ema_params, teacher_state, batch, step_key
+            )
+        else:
+            student_state, opt_state, loss = step_fn(
+                student_state, opt_state, teacher_state, batch, step_key
+            )
         if log_every and (n % log_every == 0 or n == num_train_steps - 1):
             loss_val = float(loss)
             logger.info(
