@@ -603,3 +603,76 @@ class TestPredictionTypes:
             },
         })
         assert diff.prediction_type == "v"
+
+
+class TestConditionalFrames:
+    """sample_conditional_frames: video extension / temporal infill via
+    replacement conditioning (capability beyond the reference)."""
+
+    def test_known_frames_pinned_exactly(self, diffusion):
+        known = jax.random.uniform(jax.random.PRNGKey(0), SHAPE)
+        mask = jnp.array([True, False])
+        out = diffusion.sample_conditional_frames(
+            key=jax.random.PRNGKey(1), known=known, frame_mask=mask
+        )
+        assert out.shape == SHAPE
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, 0]), np.asarray(known[:, :, 0]), atol=1e-6
+        )
+        assert np.isfinite(np.asarray(out)).all()
+        # The generated frame must NOT be a copy of the known one.
+        assert float(jnp.abs(out[:, :, 1] - known[:, :, 1]).max()) > 1e-3
+
+    def test_oracle_denoiser_fills_unknown_frames(self):
+        """Exact x0 oracle => the unmasked frames land on the oracle's clip
+        (replacement conditioning must not corrupt the reverse process)."""
+        x0 = jnp.tanh(jax.random.normal(jax.random.PRNGKey(3), SHAPE)) * 0.9
+        model = GaussianDiffusion(
+            ZeroDenoiser(), image_size=8, num_frames=2, channels=1,
+            timesteps=20, loss_type="l2",
+        )
+        model.denoise_fn = OracleDenoiser(x0, model.alphas_cumprod[...])
+        known01 = (x0 + 1.0) / 2.0
+        out = model.sample_conditional_frames(
+            key=jax.random.PRNGKey(0), known=known01,
+            frame_mask=jnp.array([True, False]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(known01), atol=2e-2
+        )
+
+    def test_infill_middle_mask_and_sharded(self, diffusion):
+        from video_diffusion_nnx_tpu.parallel import data_parallel_mesh
+
+        known = jnp.broadcast_to(
+            jnp.linspace(0, 1, 8).reshape(1, 1, 1, 1, 8), (8, C, F, H, W)
+        )
+        out = diffusion.sample_conditional_frames(
+            key=jax.random.PRNGKey(2), known=known,
+            frame_mask=jnp.array([False, True]),
+            mesh=data_parallel_mesh(8),
+        )
+        assert out.shape == (8, C, F, H, W)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, 1]), np.asarray(known[:, :, 1]), atol=1e-6
+        )
+
+    def test_with_text_cond(self):
+        from video_diffusion_nnx_tpu.models import Unet3D
+        from video_diffusion_nnx_tpu.models.text import BERT_MODEL_DIM
+
+        unet = Unet3D(
+            dim=8, rngs=nnx.Rngs(0), dim_mults=(1,), channels=1, attn_heads=2,
+            cond_dim=BERT_MODEL_DIM,
+        )
+        diff = GaussianDiffusion(
+            unet, image_size=8, num_frames=2, channels=1, timesteps=3, loss_type="l2"
+        )
+        known = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 2, 8, 8))
+        out = diff.sample_conditional_frames(
+            key=jax.random.PRNGKey(1), known=known,
+            frame_mask=jnp.array([True, False]),
+            cond=["continue this", "and this"], cond_scale=2.0,
+        )
+        assert out.shape == (2, 1, 2, 8, 8)
+        assert np.isfinite(np.asarray(out)).all()

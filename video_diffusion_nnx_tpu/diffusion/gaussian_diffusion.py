@@ -636,6 +636,109 @@ class GaussianDiffusion(nnx.Module):
             shape=sample_shape, key=key, cond=cond, cond_scale=cond_scale, mesh=mesh
         )
 
+    def sample_conditional_frames(
+        self,
+        key: jax.Array,
+        known: jax.Array,
+        frame_mask: jax.Array,
+        cond: Any = None,
+        cond_scale: float = 1.0,
+        mesh: Mesh | None = None,
+    ) -> jax.Array:
+        """Generate a clip whose frames at ``frame_mask`` are pinned to
+        ``known`` — video extension (mask the leading frames), temporal
+        infill (mask any subset), or frame prediction, via replacement
+        conditioning (the RePaint/Song et al. baseline: after every reverse
+        step the known frames are swapped for their forward-noised
+        counterparts at the new noise level, so the denoiser always sees
+        consistent context and the t=0 output carries the known frames
+        exactly).
+
+        Capability beyond the reference (its only conditional-inference
+        surface is ``interpolate``). One compiled ``lax.scan`` like every
+        other sampler here.
+
+        Args:
+          known: ``(b, c, f, h, w)`` in the sampler's output range [0, 1];
+            values at unmasked frames are ignored.
+          frame_mask: ``(f,)`` bool — True where ``known`` pins the frame.
+        """
+        if is_list_str(cond):
+            cond = jnp.asarray(
+                bert_embed(tokenize(cond), return_cls_repr=self.text_use_bert_cls)
+            )
+        batch_size = known.shape[0]
+        shape = tuple(known.shape)
+        assert shape[2] == self.num_frames, (
+            f"known must carry all {self.num_frames} frames (got {shape[2]}); "
+            "unmasked positions are ignored"
+        )
+        frame_mask = jnp.asarray(frame_mask, bool).reshape(1, 1, -1, 1, 1)
+
+        graphdef, state = nnx.split(self)
+        if mesh is None:
+            mesh = data_parallel_mesh()
+        batch_spec = _sampler_batch_spec(batch_size, mesh)
+        repl = NamedSharding(mesh, P())
+        img_sharding = NamedSharding(mesh, batch_spec)
+        cs = float(cond_scale)
+
+        cache_key = (
+            "cond_frames", graphdef, shape, self.num_timesteps, mesh, batch_spec,
+            cs, cond is not None,
+        )
+        cached = _cache_get(cache_key)
+        if cached is None:
+
+            def run(state, key, known, frame_mask, cond=None):
+                model = nnx.merge(graphdef, state)
+                x0_known = normalize_img(known)
+                key, init_key = jax.random.split(key)
+                img = jax.random.normal(init_key, shape)
+                img = jax.lax.with_sharding_constraint(img, img_sharding)
+
+                def body(carry, i):
+                    img, key = carry
+                    key, step_key, mix_key = jax.random.split(key, 3)
+                    t_arr = jnp.full((batch_size,), i, jnp.int32)
+                    img = model.p_sample(
+                        img, t_arr, key=step_key, cond=cond, cond_scale=cs
+                    )
+                    # Re-noise the known frames to the level the sampler just
+                    # reached (t-1; clean at the final step) and replace.
+                    t_prev = jnp.maximum(i - 1, 0)
+                    known_noisy = model.q_sample(
+                        x0_known, jnp.full((batch_size,), t_prev, jnp.int32),
+                        key=mix_key,
+                    )
+                    known_t = jnp.where(i > 0, known_noisy, x0_known)
+                    img = jnp.where(frame_mask, known_t, img)
+                    img = jax.lax.with_sharding_constraint(img, img_sharding)
+                    return (img, key), None
+
+                (img, _), _ = jax.lax.scan(
+                    body, (img, key), jnp.arange(self.num_timesteps - 1, -1, -1)
+                )
+                return unnormalize_img(img)
+
+            if cond is not None:
+                cached = jax.jit(
+                    run,
+                    in_shardings=(repl, repl, img_sharding, repl, repl),
+                    out_shardings=img_sharding,
+                )
+            else:
+                cached = jax.jit(
+                    lambda state, key, known, frame_mask: run(state, key, known, frame_mask),
+                    in_shardings=(repl, repl, img_sharding, repl),
+                    out_shardings=img_sharding,
+                )
+            _cache_put(cache_key, cached)
+
+        if cond is None:
+            return cached(state, key, known, frame_mask)
+        return cached(state, key, known, frame_mask, cond)
+
     def interpolate(
         self,
         x1: jax.Array,
