@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=2,
                    help="independent continuations of the same input")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--num-steps", type=int, default=None,
+        help="fast DDIM conditional sampling with this many steps "
+             "(default: full DDPM chain)",
+    )
     p.add_argument("--text", type=str, action="append", default=None)
     p.add_argument("--cond-scale", type=float, default=1.0)
     p.add_argument("--output-path", type=str, default="outputs/extended")
@@ -142,6 +147,7 @@ def main() -> None:
         frame_mask=jnp.asarray(mask),
         cond=cond,
         cond_scale=args.cond_scale,
+        num_steps=args.num_steps,
     )
     out_dir = Path(args.output_path)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -676,3 +676,33 @@ class TestConditionalFrames:
         )
         assert out.shape == (2, 1, 2, 8, 8)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_ddim_conditional_fast_path(self, diffusion):
+        """num_steps engages the strided deterministic chain; pinned frames
+        stay exact and the result is finite."""
+        known = jax.random.uniform(jax.random.PRNGKey(4), SHAPE)
+        out = diffusion.sample_conditional_frames(
+            key=jax.random.PRNGKey(5), known=known,
+            frame_mask=jnp.array([True, False]), num_steps=4,
+        )
+        assert out.shape == SHAPE
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, 0]), np.asarray(known[:, :, 0]), atol=1e-6
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_ddim_conditional_oracle(self):
+        """Exact oracle + DDIM conditional => unknown frames land on the
+        oracle clip, same as the full chain."""
+        x0 = jnp.tanh(jax.random.normal(jax.random.PRNGKey(6), SHAPE)) * 0.9
+        model = GaussianDiffusion(
+            ZeroDenoiser(), image_size=8, num_frames=2, channels=1,
+            timesteps=20, loss_type="l2",
+        )
+        model.denoise_fn = OracleDenoiser(x0, model.alphas_cumprod[...])
+        known01 = (x0 + 1.0) / 2.0
+        out = model.sample_conditional_frames(
+            key=jax.random.PRNGKey(0), known=known01,
+            frame_mask=jnp.array([True, False]), num_steps=6, grid="stride",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(known01), atol=2e-2)

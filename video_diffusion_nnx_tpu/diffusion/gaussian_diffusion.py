@@ -644,6 +644,8 @@ class GaussianDiffusion(nnx.Module):
         cond: Any = None,
         cond_scale: float = 1.0,
         mesh: Mesh | None = None,
+        num_steps: int | None = None,
+        grid: str = "linspace",
     ) -> jax.Array:
         """Generate a clip whose frames at ``frame_mask`` are pinned to
         ``known`` — video extension (mask the leading frames), temporal
@@ -662,6 +664,9 @@ class GaussianDiffusion(nnx.Module):
           known: ``(b, c, f, h, w)`` in the sampler's output range [0, 1];
             values at unmasked frames are ignored.
           frame_mask: ``(f,)`` bool — True where ``known`` pins the frame.
+          num_steps: ``None`` runs the full T-step DDPM chain; an int runs
+            a deterministic DDIM chain over that many ``grid`` steps with
+            the same replacement conditioning (fast extension/infill).
         """
         if is_list_str(cond):
             cond = jnp.asarray(
@@ -685,10 +690,14 @@ class GaussianDiffusion(nnx.Module):
 
         cache_key = (
             "cond_frames", graphdef, shape, self.num_timesteps, mesh, batch_spec,
-            cs, cond is not None,
+            cs, cond is not None, num_steps, grid if num_steps else None,
         )
         cached = _cache_get(cache_key)
         if cached is None:
+            acp = self.alphas_cumprod[...]
+            if num_steps is not None:
+                times = sampling_times(self.num_timesteps, num_steps, grid)[::-1]
+                times_prev = jnp.concatenate([times[1:], jnp.array([-1], jnp.int32)])
 
             def run(state, key, known, frame_mask, cond=None):
                 model = nnx.merge(graphdef, state)
@@ -697,28 +706,58 @@ class GaussianDiffusion(nnx.Module):
                 img = jax.random.normal(init_key, shape)
                 img = jax.lax.with_sharding_constraint(img, img_sharding)
 
-                def body(carry, i):
-                    img, key = carry
-                    key, step_key, mix_key = jax.random.split(key, 3)
-                    t_arr = jnp.full((batch_size,), i, jnp.int32)
-                    img = model.p_sample(
-                        img, t_arr, key=step_key, cond=cond, cond_scale=cs
-                    )
-                    # Re-noise the known frames to the level the sampler just
-                    # reached (t-1; clean at the final step) and replace.
-                    t_prev = jnp.maximum(i - 1, 0)
+                def replace_known(img, t_to, mix_key):
+                    """Swap pinned frames for their forward-noised values at
+                    level ``t_to`` (clean when t_to < 0)."""
                     known_noisy = model.q_sample(
-                        x0_known, jnp.full((batch_size,), t_prev, jnp.int32),
+                        x0_known,
+                        jnp.full((batch_size,), jnp.maximum(t_to, 0), jnp.int32),
                         key=mix_key,
                     )
-                    known_t = jnp.where(i > 0, known_noisy, x0_known)
-                    img = jnp.where(frame_mask, known_t, img)
-                    img = jax.lax.with_sharding_constraint(img, img_sharding)
-                    return (img, key), None
+                    known_t = jnp.where(t_to >= 0, known_noisy, x0_known)
+                    return jnp.where(frame_mask, known_t, img)
 
-                (img, _), _ = jax.lax.scan(
-                    body, (img, key), jnp.arange(self.num_timesteps - 1, -1, -1)
-                )
+                if num_steps is None:
+
+                    def body(carry, i):
+                        img, key = carry
+                        key, step_key, mix_key = jax.random.split(key, 3)
+                        t_arr = jnp.full((batch_size,), i, jnp.int32)
+                        img = model.p_sample(
+                            img, t_arr, key=step_key, cond=cond, cond_scale=cs
+                        )
+                        img = replace_known(img, i - 1, mix_key)
+                        img = jax.lax.with_sharding_constraint(img, img_sharding)
+                        return (img, key), None
+
+                    (img, _), _ = jax.lax.scan(
+                        body, (img, key), jnp.arange(self.num_timesteps - 1, -1, -1)
+                    )
+                else:
+
+                    def body(carry, tt):
+                        img, key = carry
+                        t, t_prev = tt
+                        key, mix_key = jax.random.split(key)
+                        t_arr = jnp.full((batch_size,), t, jnp.int32)
+                        out = model.denoise_fn.forward_with_cond_scale(
+                            img, t_arr, cond=cond, cond_scale=cs
+                        )
+                        out = rearrange(out, "b f h w c -> b c f h w")
+                        x0, _ = model._model_out_to_x0_eps(img, t_arr, out)
+                        x0 = jnp.clip(x0, -1.0, 1.0)
+                        a_t = acp[t]
+                        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+                        eps_hat = (img - jnp.sqrt(a_t) * x0) / jnp.sqrt(1.0 - a_t)
+                        img = (
+                            jnp.sqrt(a_prev) * x0
+                            + jnp.sqrt(jnp.maximum(1.0 - a_prev, 0.0)) * eps_hat
+                        )
+                        img = replace_known(img, t_prev, mix_key)
+                        img = jax.lax.with_sharding_constraint(img, img_sharding)
+                        return (img, key), None
+
+                    (img, _), _ = jax.lax.scan(body, (img, key), (times, times_prev))
                 return unnormalize_img(img)
 
             if cond is not None:
