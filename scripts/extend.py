@@ -54,6 +54,12 @@ def parse_args():
         help="fast DDIM conditional sampling with this many steps "
              "(default: full DDPM chain)",
     )
+    p.add_argument(
+        "--recon-guidance", type=float, default=0.0,
+        help="reconstruction-guidance weight w_r (Ho et al. 2022; needs "
+             "--num-steps; typical 1-10) — pulls generated frames toward "
+             "consistency with the pinned context",
+    )
     p.add_argument("--text", type=str, action="append", default=None)
     p.add_argument("--cond-scale", type=float, default=1.0)
     p.add_argument("--output-path", type=str, default="outputs/extended")
@@ -148,6 +154,7 @@ def main() -> None:
         cond=cond,
         cond_scale=args.cond_scale,
         num_steps=args.num_steps,
+        recon_guidance_weight=args.recon_guidance,
     )
     out_dir = Path(args.output_path)
     out_dir.mkdir(parents=True, exist_ok=True)

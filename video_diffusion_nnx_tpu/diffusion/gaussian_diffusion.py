@@ -646,6 +646,7 @@ class GaussianDiffusion(nnx.Module):
         mesh: Mesh | None = None,
         num_steps: int | None = None,
         grid: str = "linspace",
+        recon_guidance_weight: float = 0.0,
     ) -> jax.Array:
         """Generate a clip whose frames at ``frame_mask`` are pinned to
         ``known`` — video extension (mask the leading frames), temporal
@@ -667,6 +668,15 @@ class GaussianDiffusion(nnx.Module):
           num_steps: ``None`` runs the full T-step DDPM chain; an int runs
             a deterministic DDIM chain over that many ``grid`` steps with
             the same replacement conditioning (fast extension/infill).
+          recon_guidance_weight: ``w_r > 0`` adds reconstruction-guided
+            sampling (Ho et al., "Video Diffusion Models", §3.2) on the
+            DDIM path: the unknown frames' x0 prediction is corrected by
+            the gradient of the known frames' reconstruction error,
+            ``x0 <- x0 - (w_r a_t / 2) grad_z ||mask*(x0(z) - known)||^2``,
+            pulling the generated frames toward temporal consistency with
+            the pinned context (the paper uses w_r in the 1-10 range).
+            Doubles the per-step cost (a VJP through the denoiser);
+            requires ``num_steps``.
         """
         if is_list_str(cond):
             cond = jnp.asarray(
@@ -688,9 +698,12 @@ class GaussianDiffusion(nnx.Module):
         img_sharding = NamedSharding(mesh, batch_spec)
         cs = float(cond_scale)
 
+        wr = float(recon_guidance_weight)
+        if wr > 0.0 and num_steps is None:
+            raise ValueError("recon_guidance_weight needs the DDIM path (num_steps)")
         cache_key = (
             "cond_frames", graphdef, shape, self.num_timesteps, mesh, batch_spec,
-            cs, cond is not None, num_steps, grid if num_steps else None,
+            cs, cond is not None, num_steps, grid if num_steps else None, wr,
         )
         cached = _cache_get(cache_key)
         if cached is None:
@@ -735,16 +748,32 @@ class GaussianDiffusion(nnx.Module):
                     )
                 else:
 
+                    def predict_x0(z, t_arr):
+                        out = model.denoise_fn.forward_with_cond_scale(
+                            z, t_arr, cond=cond, cond_scale=cs
+                        )
+                        out = rearrange(out, "b f h w c -> b c f h w")
+                        x0, _ = model._model_out_to_x0_eps(z, t_arr, out)
+                        return x0
+
                     def body(carry, tt):
                         img, key = carry
                         t, t_prev = tt
                         key, mix_key = jax.random.split(key)
                         t_arr = jnp.full((batch_size,), t, jnp.int32)
-                        out = model.denoise_fn.forward_with_cond_scale(
-                            img, t_arr, cond=cond, cond_scale=cs
-                        )
-                        out = rearrange(out, "b f h w c -> b c f h w")
-                        x0, _ = model._model_out_to_x0_eps(img, t_arr, out)
+                        if wr > 0.0:
+                            # Reconstruction guidance (Ho et al. 2022 eq. 6):
+                            # one VJP through the denoiser pulls the unknown
+                            # frames toward consistency with the context.
+                            def recon_err(z):
+                                x0 = predict_x0(z, t_arr)
+                                err = jnp.where(frame_mask, x0 - x0_known, 0.0)
+                                return 0.5 * jnp.sum(err**2), x0
+
+                            (_, x0), g = jax.value_and_grad(recon_err, has_aux=True)(img)
+                            x0 = x0 - (wr * acp[t]) * jnp.where(frame_mask, 0.0, g)
+                        else:
+                            x0 = predict_x0(img, t_arr)
                         x0 = jnp.clip(x0, -1.0, 1.0)
                         a_t = acp[t]
                         a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
