@@ -11,6 +11,11 @@ generation over HTTP — stdlib only, no new dependencies.
 API
 ---
 GET  /health  -> {"status": "ok", "devices": N, "model": {...}}
+POST /extend  (JSON body) -> frame-conditional generation:
+    {"known_npy_b64": <base64 of a .npy (c,f,h,w) float array in [0,1]>,
+     "frame_mask": [true, ..., false], "batch_size": 2, "num_steps": 50,
+     "recon_guidance": 0.0, "seed": 0, "text": [...], "cond_scale": 1.0}
+    -> same response shape as /sample
 POST /sample  (JSON body) ->
     {"batch_size": 2, "sampler": "ddim", "num_steps": 50, "eta": 0.0,
      "grid": "linspace", "seed": 0, "text": ["a caption"], "cond_scale": 2.0}
@@ -156,6 +161,83 @@ class SamplingService:
         return {"gifs": gifs, "time_s": round(dt, 3), "shape": list(arr.shape)}
 
 
+    def extend(self, req: dict) -> dict:
+        """Frame-conditional generation (video extension / infill)."""
+        import io
+        import math
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        m = self.model
+        raw = req.get("known_npy_b64")
+        if not isinstance(raw, str):
+            raise ValueError("known_npy_b64 (base64 of a .npy array) is required")
+        try:
+            known = np.load(io.BytesIO(base64.b64decode(raw)), allow_pickle=False)
+        except Exception as e:
+            raise ValueError(f"could not decode known_npy_b64 as .npy: {e}") from None
+        expect = (m.channels, m.num_frames, m.image_size, m.image_size)
+        if known.shape != expect:
+            raise ValueError(f"known array must have shape {expect}, got {known.shape}")
+        batch_size = int(req.get("batch_size", 1))
+        if not 1 <= batch_size <= 16:
+            raise ValueError("batch_size must be in [1, 16]")
+        mask = req.get("frame_mask")
+        if (
+            not isinstance(mask, list)
+            or len(mask) != m.num_frames
+            or not all(isinstance(v, bool) for v in mask)
+        ):
+            raise ValueError(f"frame_mask must be a list of {m.num_frames} booleans")
+        if all(mask) or not any(mask):
+            raise ValueError("frame_mask must pin some frames and leave some free")
+        num_steps = req.get("num_steps")
+        if num_steps is not None:
+            num_steps = int(num_steps)
+            if not 1 <= num_steps <= m.num_timesteps:
+                raise ValueError(f"num_steps must be in [1, {m.num_timesteps}]")
+        wr = float(req.get("recon_guidance", 0.0))
+        cond_scale = float(req.get("cond_scale", 1.0))
+        if not (math.isfinite(wr) and math.isfinite(cond_scale)) or wr < 0:
+            raise ValueError("recon_guidance and cond_scale must be finite (wr >= 0)")
+        if wr > 0 and num_steps is None:
+            raise ValueError("recon_guidance needs num_steps (the DDIM path)")
+        seed = int(req.get("seed", 0))
+        cond = req.get("text")
+        has_cond = bool(getattr(m.denoise_fn, "has_cond", False))
+        if (cond is None) == has_cond:
+            raise ValueError(
+                "provide 'text' iff the model is conditioned"
+                f" (this model {'is' if has_cond else 'is not'})"
+            )
+        if cond is not None:
+            if not isinstance(cond, list) or not all(isinstance(s, str) for s in cond):
+                raise ValueError("text must be a list of strings")
+            if len(cond) == 1 and batch_size > 1:
+                cond = cond * batch_size
+            if len(cond) != batch_size:
+                raise ValueError(f"text needs 1 or {batch_size} entries")
+
+        known_b = jnp.broadcast_to(jnp.asarray(known)[None], (batch_size, *known.shape))
+        t0 = time.perf_counter()
+        with self.lock:
+            videos = m.sample_conditional_frames(
+                key=jax.random.PRNGKey(seed),
+                known=known_b,
+                frame_mask=jnp.asarray(mask),
+                cond=cond,
+                cond_scale=cond_scale,
+                num_steps=num_steps,
+                recon_guidance_weight=wr,
+            )
+            arr = np.asarray(videos)
+        dt = time.perf_counter() - t0
+        gifs = [base64.b64encode(g).decode("ascii") for g in _encode_gifs(arr)]
+        return {"gifs": gifs, "time_s": round(dt, 3), "shape": list(arr.shape)}
+
+
 def _encode_gifs(videos) -> list[bytes]:
     """(b, c, f, h, w) float batch -> GIF bytes per clip (the CLI's
     batch-global min-max uint8 scaling, reference sample.py:105-116)."""
@@ -186,17 +268,19 @@ def make_handler(service: SamplingService):
                 self._reply(404, {"error": "unknown path; GET /health or POST /sample"})
 
         def do_POST(self):
-            if self.path != "/sample":
-                self._reply(404, {"error": "unknown path; POST /sample"})
+            handlers = {"/sample": service.sample, "/extend": service.extend}
+            handler = handlers.get(self.path)
+            if handler is None:
+                self._reply(404, {"error": "unknown path; POST /sample or /extend"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                self._reply(200, service.sample(req))
+                self._reply(200, handler(req))
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # surface, don't crash the server
-                log.exception("sample request failed")
+                log.exception("%s request failed", self.path)
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

@@ -164,3 +164,52 @@ class TestValidation:
         # {} must run the warm DDIM path, not the full DDPM chain.
         out = _post(server_url, {"num_steps": 2})
         assert len(out["gifs"]) == 1
+
+
+class TestExtendEndpoint:
+    @staticmethod
+    def _known_b64(shape=(1, 2, 8, 8)):
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        np.save(buf, np.random.default_rng(0).random(shape, dtype=np.float32))
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def test_extend_returns_gifs(self, server_url):
+        out = _post_path(server_url, "/extend", {
+            "known_npy_b64": self._known_b64(),
+            "frame_mask": [True, False],
+            "batch_size": 2, "num_steps": 2,
+        })
+        assert out["shape"] == [2, 1, 2, 8, 8]
+        assert len(out["gifs"]) == 2
+        for g in out["gifs"]:
+            assert base64.b64decode(g)[:6] in (b"GIF87a", b"GIF89a")
+
+    def test_extend_validations(self, server_url):
+        cases = [
+            {},  # missing array
+            {"known_npy_b64": self._known_b64(), "frame_mask": [True, True]},
+            {"known_npy_b64": self._known_b64(), "frame_mask": [True]},
+            {"known_npy_b64": self._known_b64((2, 2, 8, 8)),
+             "frame_mask": [True, False]},
+            {"known_npy_b64": self._known_b64(), "frame_mask": [True, False],
+             "recon_guidance": 1.0},  # needs num_steps
+        ]
+        for payload in cases:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post_path(server_url, "/extend", payload)
+            assert ei.value.code == 400, payload
+
+
+def _post_path(url, path, payload):
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
