@@ -66,8 +66,11 @@ def parse_args():
     return p.parse_args()
 
 
-def load_clip(path: Path, image_size: int, channels: int, num_frames: int) -> np.ndarray:
-    """-> (c, f, h, w) float in [0, 1], padded/truncated to num_frames."""
+def load_clip(
+    path: Path, image_size: int, channels: int, num_frames: int
+) -> tuple[np.ndarray, int]:
+    """-> ((c, f, h, w) float in [0, 1] padded/truncated to num_frames,
+    true input frame count before padding)."""
     if path.suffix == ".npy":
         arr = np.load(path).astype(np.float32)
         if arr.ndim == 3:
@@ -78,20 +81,32 @@ def load_clip(path: Path, image_size: int, channels: int, num_frames: int) -> np
 
         from video_diffusion_nnx_tpu.utils.media import seek_all_images
 
+        # seek_all_images keeps the reference's off-by-one channel KEYS
+        # (3 -> RGBA, parity quirk); remap the true channel count to the
+        # key that yields it, exactly as GifVideoDataset does
+        # (gif_dataset.py:57).
+        try:
+            mode_key = {1: 1, 3: 2, 4: 3}[channels]
+        except KeyError:
+            raise SystemExit(f"error: unsupported channel count {channels}") from None
         img = Image.open(path)
         frames = [
             np.asarray(f.resize((image_size, image_size)), np.float32)
-            for f in seek_all_images(img, channels=channels)
+            for f in seek_all_images(img, channels=mode_key)
         ]
         arr = np.stack(frames)  # (f, h, w[, c])
         arr = arr[..., None] if arr.ndim == 3 else arr
         arr = np.moveaxis(arr, -1, 0)  # -> (c, f, h, w)
+    if arr.shape[0] != channels:
+        raise SystemExit(
+            f"error: input clip has {arr.shape[0]} channels; model expects {channels}"
+        )
     arr = arr / 255.0
     f = arr.shape[1]
     if f < num_frames:
         pad = np.zeros((arr.shape[0], num_frames - f, *arr.shape[2:]), np.float32)
         arr = np.concatenate([arr, pad], axis=1)
-    return arr[:, :num_frames]
+    return arr[:, :num_frames], min(f, num_frames)
 
 
 def main() -> None:
@@ -119,13 +134,18 @@ def main() -> None:
     except FileNotFoundError as e:
         raise SystemExit(f"error: {e}") from None
 
-    clip = load_clip(
+    clip, input_frames = load_clip(
         Path(args.input), model.image_size, model.channels, model.num_frames
     )
     f = model.num_frames
     if args.keep_frames is not None:
         if not 1 <= args.keep_frames < f:
             raise SystemExit(f"error: --keep-frames must be in [1, {f - 1}]")
+        if args.keep_frames > input_frames:
+            raise SystemExit(
+                f"error: --keep-frames {args.keep_frames} exceeds the input's "
+                f"{input_frames} frames (the padding is black, not context)"
+            )
         mask = np.arange(f) < args.keep_frames
         log.info("extension: pinning first %d of %d frames", args.keep_frames, f)
     else:
@@ -136,16 +156,27 @@ def main() -> None:
         if not (0 <= a < b <= f):
             raise SystemExit(f"error: --regen-frames range must satisfy 0 <= A < B <= {f}")
         mask = ~((np.arange(f) >= a) & (np.arange(f) < b))
-        if mask.all():
-            raise SystemExit("error: --regen-frames selects no frames")
+        if not mask.any():
+            raise SystemExit(
+                "error: --regen-frames covers every frame — nothing is pinned "
+                "(use sample.py for unconditional generation)"
+            )
         log.info("infill: regenerating frames [%d, %d) of %d", a, b, f)
+    if args.num_steps is not None and args.num_steps < 1:
+        raise SystemExit("error: --num-steps must be >= 1")
 
     known = jnp.broadcast_to(
         jnp.asarray(clip)[None], (args.batch_size, *clip.shape)
     )
     cond = args.text
-    if cond is not None and len(cond) == 1 and args.batch_size > 1:
-        cond = cond * args.batch_size
+    if cond is not None:
+        if len(cond) == 1 and args.batch_size > 1:
+            cond = cond * args.batch_size
+        if len(cond) != args.batch_size:
+            raise SystemExit(
+                f"error: --text given {len(args.text)} times but --batch-size "
+                f"is {args.batch_size}; give one prompt or one per sample"
+            )
 
     videos = model.sample_conditional_frames(
         key=jax.random.PRNGKey(args.seed),

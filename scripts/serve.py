@@ -15,7 +15,8 @@ POST /extend  (JSON body) -> frame-conditional generation:
     {"known_npy_b64": <base64 of a .npy (c,f,h,w) float array in [0,1]>,
      "frame_mask": [true, ..., false], "batch_size": 2, "num_steps": 50,
      "recon_guidance": 0.0, "seed": 0, "text": [...], "cond_scale": 1.0}
-    -> same response shape as /sample
+    -> same response shape as /sample. num_steps defaults to DDIM-50;
+    pass an explicit null to run the full T-step DDPM chain.
 POST /sample  (JSON body) ->
     {"batch_size": 2, "sampler": "ddim", "num_steps": 50, "eta": 0.0,
      "grid": "linspace", "seed": 0, "text": ["a caption"], "cond_scale": 2.0}
@@ -76,6 +77,49 @@ class SamplingService:
             },
         }
 
+    def _validate_text(self, req: dict, batch_size: int):
+        """Shared text-conditioning validation for /sample and /extend.
+
+        Returns ``(cond, batch_size)``: a single prompt is broadcast; a
+        prompt list sets the batch size unless the request pinned a
+        conflicting one (the samplers infer batch from cond, so an
+        unchecked list would bypass the batch cap).
+        """
+        cond = req.get("text")
+        has_cond = bool(getattr(self.model.denoise_fn, "has_cond", False))
+        if cond is None:
+            if has_cond:
+                raise ValueError("this model is conditioned; provide 'text'")
+            return None, batch_size
+        if not has_cond:
+            raise ValueError("this model is unconditional; remove 'text'")
+        if not isinstance(cond, list) or not all(isinstance(s, str) for s in cond):
+            raise ValueError("text must be a list of strings")
+        if len(cond) == 1 and batch_size > 1:
+            cond = cond * batch_size
+        if not 1 <= len(cond) <= 64:
+            raise ValueError("text must have 1..64 entries")
+        if len(cond) != batch_size:
+            if "batch_size" in req:
+                raise ValueError(
+                    f"text has {len(cond)} entries but batch_size is "
+                    f"{batch_size}; give one prompt, matching prompts, or "
+                    "drop batch_size"
+                )
+            batch_size = len(cond)
+        return cond, batch_size
+
+    def _run_and_encode(self, sample_fn) -> dict:
+        """Serialize the sampler call, materialize, and encode GIFs."""
+        import numpy as np
+
+        t0 = time.perf_counter()
+        with self.lock:
+            arr = np.asarray(sample_fn())  # materializes inside the lock
+        dt = time.perf_counter() - t0
+        gifs = [base64.b64encode(g).decode("ascii") for g in _encode_gifs(arr)]
+        return {"gifs": gifs, "time_s": round(dt, 3), "shape": list(arr.shape)}
+
     def sample(self, req: dict) -> dict:
         import math
 
@@ -108,27 +152,7 @@ class SamplingService:
             raise ValueError("grid must be 'linspace' or 'stride'")
         eta = float(req.get("eta", 0.0))
         seed = int(req.get("seed", 0))
-        cond = req.get("text")
-        has_cond = bool(getattr(self.model.denoise_fn, "has_cond", False))
-        if cond is not None:
-            if not has_cond:
-                raise ValueError("this model is unconditional; remove 'text'")
-            if not isinstance(cond, list) or not all(isinstance(s, str) for s in cond):
-                raise ValueError("text must be a list of strings")
-            if len(cond) == 1 and batch_size > 1:
-                cond = cond * batch_size
-            # The samplers infer batch size from cond — keep the cap honest.
-            if not 1 <= len(cond) <= 64:
-                raise ValueError("text must have 1..64 entries")
-            if len(cond) != batch_size and "batch_size" in req:
-                raise ValueError(
-                    f"text has {len(cond)} entries but batch_size is "
-                    f"{batch_size}; give one prompt, matching prompts, or "
-                    "drop batch_size"
-                )
-            batch_size = len(cond)
-        elif has_cond:
-            raise ValueError("this model is conditioned; provide 'text'")
+        cond, batch_size = self._validate_text(req, batch_size)
         cond_scale = float(req.get("cond_scale", 1.0))
         # NaN never compares equal, so it would miss (and pollute) the
         # compiled-sampler LRU on every request; json.loads accepts it.
@@ -136,30 +160,23 @@ class SamplingService:
             raise ValueError("eta and cond_scale must be finite")
 
         key = jax.random.PRNGKey(seed)
-        t0 = time.perf_counter()
-        with self.lock:
+
+        def run():
             if sampler == "ddim":
-                videos = self.model.ddim_sample(
+                return self.model.ddim_sample(
                     key, cond=cond, cond_scale=cond_scale, batch_size=batch_size,
                     num_steps=num_steps, eta=eta, grid=grid,
                 )
-            elif sampler == "dpm":
-                videos = self.model.dpm_solver_sample(
+            if sampler == "dpm":
+                return self.model.dpm_solver_sample(
                     key, cond=cond, cond_scale=cond_scale, batch_size=batch_size,
                     num_steps=num_steps,
                 )
-            else:
-                videos = self.model.sample(
-                    key, cond=cond, cond_scale=cond_scale, batch_size=batch_size
-                )
-            import numpy as np
+            return self.model.sample(
+                key, cond=cond, cond_scale=cond_scale, batch_size=batch_size
+            )
 
-            arr = np.asarray(videos)  # forces materialization inside the lock
-        dt = time.perf_counter() - t0
-
-        gifs = [base64.b64encode(g).decode("ascii") for g in _encode_gifs(arr)]
-        return {"gifs": gifs, "time_s": round(dt, 3), "shape": list(arr.shape)}
-
+        return self._run_and_encode(run)
 
     def extend(self, req: dict) -> dict:
         """Frame-conditional generation (video extension / infill)."""
@@ -193,7 +210,9 @@ class SamplingService:
             raise ValueError(f"frame_mask must be a list of {m.num_frames} booleans")
         if all(mask) or not any(mask):
             raise ValueError("frame_mask must pin some frames and leave some free")
-        num_steps = req.get("num_steps")
+        # Fast by default, like /sample: 50-step DDIM conditioning. The
+        # full T-step DDPM chain is opt-in via an EXPLICIT null.
+        num_steps = req.get("num_steps", 50)
         if num_steps is not None:
             num_steps = int(num_steps)
             if not 1 <= num_steps <= m.num_timesteps:
@@ -205,25 +224,13 @@ class SamplingService:
         if wr > 0 and num_steps is None:
             raise ValueError("recon_guidance needs num_steps (the DDIM path)")
         seed = int(req.get("seed", 0))
-        cond = req.get("text")
-        has_cond = bool(getattr(m.denoise_fn, "has_cond", False))
-        if (cond is None) == has_cond:
-            raise ValueError(
-                "provide 'text' iff the model is conditioned"
-                f" (this model {'is' if has_cond else 'is not'})"
-            )
-        if cond is not None:
-            if not isinstance(cond, list) or not all(isinstance(s, str) for s in cond):
-                raise ValueError("text must be a list of strings")
-            if len(cond) == 1 and batch_size > 1:
-                cond = cond * batch_size
-            if len(cond) != batch_size:
-                raise ValueError(f"text needs 1 or {batch_size} entries")
+        cond, batch_size = self._validate_text(req, batch_size)
+        if batch_size > 16:
+            raise ValueError("batch_size (incl. inferred from text) must be <= 16")
 
         known_b = jnp.broadcast_to(jnp.asarray(known)[None], (batch_size, *known.shape))
-        t0 = time.perf_counter()
-        with self.lock:
-            videos = m.sample_conditional_frames(
+        return self._run_and_encode(
+            lambda: m.sample_conditional_frames(
                 key=jax.random.PRNGKey(seed),
                 known=known_b,
                 frame_mask=jnp.asarray(mask),
@@ -232,10 +239,7 @@ class SamplingService:
                 num_steps=num_steps,
                 recon_guidance_weight=wr,
             )
-            arr = np.asarray(videos)
-        dt = time.perf_counter() - t0
-        gifs = [base64.b64encode(g).decode("ascii") for g in _encode_gifs(arr)]
-        return {"gifs": gifs, "time_s": round(dt, 3), "shape": list(arr.shape)}
+        )
 
 
 def _encode_gifs(videos) -> list[bytes]:

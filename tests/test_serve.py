@@ -196,7 +196,7 @@ class TestExtendEndpoint:
             {"known_npy_b64": self._known_b64((2, 2, 8, 8)),
              "frame_mask": [True, False]},
             {"known_npy_b64": self._known_b64(), "frame_mask": [True, False],
-             "recon_guidance": 1.0},  # needs num_steps
+             "recon_guidance": 1.0, "num_steps": None},  # DDPM chain + wr
         ]
         for payload in cases:
             with pytest.raises(urllib.error.HTTPError) as ei:

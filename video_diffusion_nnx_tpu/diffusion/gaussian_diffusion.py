@@ -701,9 +701,14 @@ class GaussianDiffusion(nnx.Module):
         wr = float(recon_guidance_weight)
         if wr > 0.0 and num_steps is None:
             raise ValueError("recon_guidance_weight needs the DDIM path (num_steps)")
+        if num_steps is not None and not 1 <= int(num_steps) <= self.num_timesteps:
+            raise ValueError(
+                f"num_steps must be in [1, {self.num_timesteps}]; got {num_steps}"
+            )
         cache_key = (
             "cond_frames", graphdef, shape, self.num_timesteps, mesh, batch_spec,
-            cs, cond is not None, num_steps, grid if num_steps else None, wr,
+            cs, cond is not None, num_steps,
+            grid if num_steps is not None else None, wr,
         )
         cached = _cache_get(cache_key)
         if cached is None:
@@ -771,7 +776,13 @@ class GaussianDiffusion(nnx.Module):
                                 return 0.5 * jnp.sum(err**2), x0
 
                             (_, x0), g = jax.value_and_grad(recon_err, has_aux=True)(img)
-                            x0 = x0 - (wr * acp[t]) * jnp.where(frame_mask, 0.0, g)
+                            # Ho et al.'s alpha_t is the SIGNAL RATE —
+                            # sqrt(acp) in this repo's discrete convention
+                            # (q_sample scales x0 by sqrt_alphas_cumprod);
+                            # recon_err already carries the paper's 1/2.
+                            x0 = x0 - (wr * jnp.sqrt(acp[t])) * jnp.where(
+                                frame_mask, 0.0, g
+                            )
                         else:
                             x0 = predict_x0(img, t_arr)
                         x0 = jnp.clip(x0, -1.0, 1.0)
