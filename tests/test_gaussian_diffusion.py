@@ -739,3 +739,69 @@ class TestConditionalFrames:
                 known=jnp.zeros(SHAPE), frame_mask=jnp.array([True, False]),
                 recon_guidance_weight=1.0,
             )
+
+
+class TestMinSnrWeighting:
+    """Min-SNR-gamma loss weighting (Hang et al. 2023; beyond reference)."""
+
+    @staticmethod
+    def _make(kind, gamma):
+        return GaussianDiffusion(
+            ZeroDenoiser(), image_size=8, num_frames=2, channels=1,
+            timesteps=20, loss_type="l2", prediction_type=kind,
+            min_snr_gamma=gamma,
+        )
+
+    @pytest.mark.parametrize("kind", ["noise", "v", "x0"])
+    def test_weighted_loss_closed_form(self, kind):
+        """Zero model output + l2 => loss == mean(w * target^2) with the
+        parameterization's Min-SNR weight."""
+        gamma = 5.0
+        d = self._make(kind, gamma)
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(key, SHAPE) * 0.5
+        eps = jax.random.normal(jax.random.fold_in(key, 1), SHAPE)
+        t = jnp.array([2, 17])
+        loss = d.p_losses(x0, t, key=jax.random.PRNGKey(1), noise=eps)
+
+        acp = np.asarray(d.alphas_cumprod[...])[np.asarray(t)].reshape(-1, 1, 1, 1, 1)
+        snr = acp / (1 - acp)
+        clamped = np.minimum(snr, gamma)
+        if kind == "noise":
+            w, target = clamped / snr, np.asarray(eps)
+        elif kind == "v":
+            w = clamped / (snr + 1)
+            target = np.asarray(d.predict_v(x0, t, eps))
+        else:
+            w, target = clamped, np.asarray(x0)
+        np.testing.assert_allclose(
+            float(loss), float(np.mean(w * target**2)), rtol=1e-5
+        )
+
+    def test_none_is_parity(self):
+        """gamma=None reproduces the unweighted loss bitwise."""
+        d_ref = self._make("noise", None)
+        key = jax.random.PRNGKey(2)
+        x0 = jax.random.normal(key, SHAPE)
+        eps = jax.random.normal(jax.random.fold_in(key, 3), SHAPE)
+        t = jnp.array([4, 11])
+        a = d_ref.p_losses(x0, t, key=jax.random.PRNGKey(0), noise=eps)
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(jnp.mean((0 - eps) ** 2))
+        )
+
+    def test_invalid_gamma(self):
+        with pytest.raises(ValueError):
+            self._make("noise", 0.0)
+
+    def test_config_exposes_gamma(self):
+        from video_diffusion_nnx_tpu.config import build_models
+
+        _, diff = build_models({
+            "unet": {"dim": 8, "dim_mults": [1], "channels": 1, "attn_heads": 2},
+            "diffusion": {
+                "image_size": 8, "num_frames": 2, "channels": 1,
+                "timesteps": 4, "min_snr_gamma": 5.0,
+            },
+        })
+        assert diff.min_snr_gamma == 5.0

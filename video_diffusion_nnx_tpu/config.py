@@ -119,6 +119,9 @@ _DIFFUSION_DEFAULTS: dict[str, Any] = {
     # "noise" (reference parity) | "v" (Salimans-Ho velocity, the stable
     # target for progressive distillation) | "x0" (direct data prediction).
     "prediction_type": "noise",
+    # Min-SNR loss weighting gamma (Hang et al. 2023; typically 5).
+    # null/None = reference parity (unweighted loss).
+    "min_snr_gamma": None,
 }
 
 

@@ -174,6 +174,7 @@ class GaussianDiffusion(nnx.Module):
         use_dynamic_thres: bool = False,
         dynamic_thres_percentile: float = 0.9,
         prediction_type: str = "noise",
+        min_snr_gamma: float | None = None,
     ):
         self.channels = channels
         self.image_size = image_size
@@ -194,6 +195,13 @@ class GaussianDiffusion(nnx.Module):
                 f"prediction_type must be 'noise', 'v', or 'x0'; got {prediction_type!r}"
             )
         self.prediction_type = prediction_type
+        # Min-SNR loss weighting (Hang et al. 2023): clamp each timestep's
+        # effective x0-space weight at gamma (typically 5), preventing the
+        # low-noise steps from dominating training. None (default) keeps the
+        # reference's unweighted loss bitwise.
+        if min_snr_gamma is not None and float(min_snr_gamma) <= 0:
+            raise ValueError(f"min_snr_gamma must be > 0; got {min_snr_gamma}")
+        self.min_snr_gamma = None if min_snr_gamma is None else float(min_snr_gamma)
         self.text_use_bert_cls = text_use_bert_cls
         self.use_dynamic_thres = use_dynamic_thres
         self.dynamic_thres_percentile = dynamic_thres_percentile
@@ -926,10 +934,27 @@ class GaussianDiffusion(nnx.Module):
             target = x_start
 
         if self.loss_type == "l1":
-            return jnp.mean(jnp.abs(model_out - target))
-        if self.loss_type == "l2":
-            return jnp.mean((model_out - target) ** 2)
-        raise ValueError(f"Unsupported loss type: {self.loss_type}")
+            err = jnp.abs(model_out - target)
+        elif self.loss_type == "l2":
+            err = (model_out - target) ** 2
+        else:
+            raise ValueError(f"Unsupported loss type: {self.loss_type}")
+
+        if self.min_snr_gamma is None:
+            return jnp.mean(err)
+        # Min-SNR-gamma (Hang et al. 2023): the x0-space weight min(SNR, g)
+        # expressed in each parameterization's native loss space —
+        # eps: min(SNR,g)/SNR; v: min(SNR,g)/(SNR+1); x0: min(SNR,g).
+        acp_t = extract(self.alphas_cumprod[...], t, x_start.shape)
+        snr = acp_t / (1.0 - acp_t)
+        clamped = jnp.minimum(snr, self.min_snr_gamma)
+        if self.prediction_type == "noise":
+            w = clamped / snr
+        elif self.prediction_type == "v":
+            w = clamped / (snr + 1.0)
+        else:  # "x0"
+            w = clamped
+        return jnp.mean(w * err)
 
     def __call__(self, x: jax.Array, key: jax.Array, *args: Any, **kwargs: Any) -> jax.Array:
         """Training entry: sample t, normalize, compute loss (reference :473-502).
