@@ -80,6 +80,14 @@ _TRAINER_EXTRA_KEYS = {"dataset_path", "rng_seed"}
 # minus runtime-only args (rngs object, sequence_parallel_mesh — derived
 # from the trainer's sequence_parallel_size).
 _UNET_DEFAULTS: dict[str, Any] = {
+    # Model family: "unet3d" (the reference's convolutional denoiser) or
+    # "dit" (VideoDiT, the transformer family — models/dit.py). Both plug
+    # into the same diffusion/trainer/sampler/serving stack.
+    "arch": "unet3d",
+    # dit-only knobs (ignored by unet3d):
+    "depth": 8,
+    "patch_size": 4,
+    "mlp_ratio": 4,
     "dim": 32,
     "rngs_seed": 0,
     "dim_mults": [1, 2, 4, 8],
@@ -181,9 +189,26 @@ def build_models(config: dict[str, Any]):
     _warn_unknown("unet", u, set(_UNET_DEFAULTS))
     _warn_unknown("diffusion", d, set(_DIFFUSION_DEFAULTS))
 
-    unet_kwargs = {k: u[k] for k in _UNET_DEFAULTS if k != "rngs_seed"}
-    unet_kwargs["dim_mults"] = tuple(u["dim_mults"])
-    unet = Unet3D(rngs=nnx.Rngs(u["rngs_seed"]), **unet_kwargs)
+    arch = u.get("arch", "unet3d")
+    if arch == "dit":
+        from video_diffusion_nnx_tpu.models.dit import VideoDiT
+
+        dit_keys = (
+            "dim", "depth", "channels", "attn_heads", "attn_dim_head",
+            "patch_size", "mlp_ratio", "cond_dim", "use_bert_text_cond",
+            "compute_dtype", "guidance_embed",
+        )
+        unet = VideoDiT(rngs=nnx.Rngs(u["rngs_seed"]), **{k: u[k] for k in dit_keys})
+    elif arch == "unet3d":
+        unet_kwargs = {
+            k: u[k]
+            for k in _UNET_DEFAULTS
+            if k not in ("rngs_seed", "arch", "depth", "patch_size", "mlp_ratio")
+        }
+        unet_kwargs["dim_mults"] = tuple(u["dim_mults"])
+        unet = Unet3D(rngs=nnx.Rngs(u["rngs_seed"]), **unet_kwargs)
+    else:
+        raise ValueError(f"unet.arch must be 'unet3d' or 'dit'; got {arch!r}")
 
     diffusion = GaussianDiffusion(denoise_fn=unet, **{k: d[k] for k in _DIFFUSION_DEFAULTS})
     return unet, diffusion

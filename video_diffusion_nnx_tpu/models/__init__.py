@@ -23,6 +23,7 @@ from video_diffusion_nnx_tpu.models.layers import (
     SinusoidalPosEmb,
     Upsample,
 )
+from video_diffusion_nnx_tpu.models.dit import VideoDiT
 from video_diffusion_nnx_tpu.models.unet3d import Unet3D
 
 __all__ = [
@@ -42,5 +43,6 @@ __all__ = [
     "SinusoidalPosEmb",
     "SpatialLinearAttention",
     "Unet3D",
+    "VideoDiT",
     "Upsample",
 ]
