@@ -232,3 +232,27 @@ class TestTrainerIntegration:
         )
         tr.train()
         assert tr.step == 2
+
+
+class TestFusedAttention:
+    def test_fused_matches_composite(self):
+        """use_fused_attention routes both attentions through the Pallas
+        kernel (interpret mode on CPU); outputs match the composite path."""
+        a = make_dit(seed=5)
+        b_ = make_dit(seed=5, use_fused_attention=True)
+        # Make the blocks non-trivial (adaLN gates are zero at init).
+        for m in (a, b_):
+            for blk in m.blocks:
+                blk.ada.kernel[...] = (
+                    jax.random.normal(jax.random.PRNGKey(9), blk.ada.kernel[...].shape)
+                    * 0.05
+                )
+            m.final_proj.kernel[...] = (
+                jax.random.normal(jax.random.PRNGKey(10), m.final_proj.kernel[...].shape)
+                * 0.05
+            )
+        x = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        t = jnp.array([2.0, 6.0])
+        np.testing.assert_allclose(
+            np.asarray(b_(x, t)), np.asarray(a(x, t)), atol=2e-4,
+        )

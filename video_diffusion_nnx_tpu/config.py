@@ -196,7 +196,7 @@ def build_models(config: dict[str, Any]):
         dit_keys = (
             "dim", "depth", "channels", "attn_heads", "attn_dim_head",
             "patch_size", "mlp_ratio", "cond_dim", "use_bert_text_cond",
-            "compute_dtype", "guidance_embed",
+            "compute_dtype", "guidance_embed", "use_fused_attention",
         )
         unet = VideoDiT(rngs=nnx.Rngs(u["rngs_seed"]), **{k: u[k] for k in dit_keys})
     elif arch == "unet3d":

@@ -70,8 +70,9 @@ class DiTBlock(nnx.Module):
 
     def __init__(
         self, dim: int, heads: int, head_dim: int, mlp_ratio: int,
-        cond_dim: int, rngs: nnx.Rngs, dtype=None,
+        cond_dim: int, rngs: nnx.Rngs, dtype=None, use_fused_attention: bool = False,
     ):
+        self.use_fused_attention = use_fused_attention
         kw = dict(use_scale=False, use_bias=False, rngs=rngs)
         self.norm_spatial = nnx.LayerNorm(dim, **kw)
         self.attn_spatial = MultiheadAttention(
@@ -89,16 +90,36 @@ class DiTBlock(nnx.Module):
         )
         self.ada = _zero_linear(cond_dim, 9 * dim, rngs)
 
+    def _attn(self, mha: MultiheadAttention, h: jax.Array) -> jax.Array:
+        """Pure attention output over axis -2 — fused Pallas when enabled.
+
+        The fused kernel computes ``h + MHA(h)`` in one VMEM-resident
+        program (with automatic composite fallback for unsupported
+        shapes); subtracting ``h`` recovers the attention output so the
+        adaLN gate applies to exactly the same quantity as the composite
+        path (the same residual-swap identity the Unet3D fixed mode uses).
+        """
+        if self.use_fused_attention:
+            from video_diffusion_nnx_tpu.ops.temporal_attention import (
+                fused_temporal_attention_block,
+                pack_mha_weights,
+            )
+
+            wqkv, bqkv, wo, bo = pack_mha_weights(mha)
+            heads = mha.q.kernel[...].shape[1]
+            return fused_temporal_attention_block(h, wqkv, bqkv, wo, bo, heads, mha.dim) - h
+        return mha(h)
+
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
         """x: (b, f, s, d); c: (b, cond_dim)."""
         m = self.ada(nnx.silu(c))[:, None, None, :]
         (sh_s, sc_s, g_s, sh_t, sc_t, g_t, sh_m, sc_m, g_m) = jnp.split(m, 9, axis=-1)
 
         h = self.norm_spatial(x) * (1 + sc_s) + sh_s
-        x = x + g_s * self.attn_spatial(h)  # attends s (axis -2; b,f batched)
+        x = x + g_s * self._attn(self.attn_spatial, h)  # attends s (axis -2)
 
         h = self.norm_temporal(x) * (1 + sc_t) + sh_t
-        h = self.attn_temporal(h.transpose(0, 2, 1, 3))  # attends f
+        h = self._attn(self.attn_temporal, h.transpose(0, 2, 1, 3))  # attends f
         x = x + g_t * h.transpose(0, 2, 1, 3)
 
         h = self.norm_mlp(x) * (1 + sc_m) + sh_m
@@ -122,6 +143,7 @@ class VideoDiT(nnx.Module):
         use_bert_text_cond: bool = False,
         compute_dtype=None,
         guidance_embed: bool = False,
+        use_fused_attention: bool = False,
     ):
         if isinstance(compute_dtype, str):
             compute_dtype = jnp.dtype(compute_dtype)
@@ -164,6 +186,7 @@ class VideoDiT(nnx.Module):
                 DiTBlock(
                     dim, attn_heads, attn_dim_head, mlp_ratio, time_dim,
                     rngs=rngs, dtype=compute_dtype,
+                    use_fused_attention=use_fused_attention,
                 )
                 for _ in range(depth)
             ]
