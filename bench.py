@@ -4,19 +4,32 @@ Scenario (BASELINE.json target: < 60 s on v5e-8): batch-8, 16-frame, 64x64,
 1-channel sampling with the config_v2_2-scale Unet3D (dim 32, mults
 1/2/4/8, T reduced to 250 reverse steps as specified by the target).
 
-Also measures the training side (fwd+bwd+Adam+EMA at the v2_2 recipe:
-batch 4, 10 frames, bf16 compute) and reports train steps/sec/chip plus an
-MFU estimate from XLA's own FLOP count for the compiled step.
+Budget-proof structure (round-3 lesson: BENCH_r03 timed out at rc=124 with
+good numbers measured but unprinted): the headline JSON line is printed
+IMMEDIATELY after the headline measurement, then re-printed enriched after
+every sub-bench. The driver reads the last parseable line, so a timeout
+mid-run still captures everything measured so far. Every optional stage is
+gated on a wall-clock budget (``BENCH_BUDGET_S``, default 1020 s — under
+the driver's observed ~20-min kill) using a per-stage cost estimate, and
+wrapped so one failure cannot lose the rest.
 
-Prints ONE JSON line:
-``{"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 60/value}``
-plus auxiliary fields (denoise steps/sec/chip, train step/MFU, devices).
-Compilation is excluded (one warm-up run; the compiled scan is cached).
+Stage order is by information value per compile-second: headline sampling
+-> train fused (v2_2) -> train dim-128 -> fast samplers (DDIM/DPM/
+distilled-4, same model object) -> train composite -> f32 parity sampling
+-> CFG/guidance pair (2 extra full model compiles) -> 128-frame long clip
+-> VideoDiT family. Compilation is excluded from timings (one warm-up run;
+the compiled scan is cached). Remote-compile times are nondeterministic
+(117 s..753 s observed for the same headline program), hence the budget
+gates rather than a fixed stage list.
+
+Prints JSON lines of the form
+``{"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 60/value, ...}``
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -28,6 +41,12 @@ _V5E_PEAK_FLOPS = 197e12
 # bytes/s over this peak — the roofline counterpart to MFU: whichever
 # fraction is higher names the step's binding resource.
 _V5E_PEAK_HBM_BPS = 819e9
+
+_DEADLINE = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "1020"))
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
 
 
 def main() -> None:
@@ -46,6 +65,31 @@ def main() -> None:
     from video_diffusion_nnx_tpu.models import Unet3D
 
     batch, channels, frames, size, steps = 8, 1, 16, 64, 250
+    n_chips = jax.device_count()
+
+    result: dict = {}
+
+    def emit() -> None:
+        """(Re-)print the full JSON result line; the driver keeps the last one."""
+        print(json.dumps(result), flush=True)
+
+    def stage(name: str, est_s: float, fn) -> None:
+        """Run one optional sub-bench if the budget allows; never fatal."""
+        if _remaining() < est_s:
+            print(
+                f"[budget] skipping {name}: needs ~{est_s:.0f}s, "
+                f"{_remaining():.0f}s left",
+                file=sys.stderr,
+            )
+            return
+        t0 = time.monotonic()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — partial results beat none
+            print(f"[{name}] FAILED: {e!r}", file=sys.stderr)
+            return
+        print(f"[{name}] stage took {time.monotonic() - t0:.1f}s", file=sys.stderr)
+        emit()
 
     def build(compute_dtype, fused=False):
         unet = Unet3D(
@@ -66,7 +110,7 @@ def main() -> None:
             loss_type="l2",
         )
 
-    def measure(diffusion, tag):
+    def measure_sampling(diffusion, tag, n_runs=3):
         def timed_sample(seed: int) -> float:
             t0 = time.perf_counter()
             out = diffusion.sample(key=jax.random.PRNGKey(seed), batch_size=batch)
@@ -80,102 +124,33 @@ def main() -> None:
         warmup = timed_sample(0)
         print(f"[{tag}] warm-up (compile + run): {warmup:.2f}s", file=sys.stderr)
         runs = []
-        for i in range(3):
+        for i in range(n_runs):
             runs.append(timed_sample(i + 1))
             print(f"[{tag}] run {i}: {runs[-1]:.3f}s", file=sys.stderr)
         return min(runs), warmup
 
-    # Production path: bf16 compute + fused Pallas temporal attention.
+    # ----- Headline (mandatory, printed the moment it exists) -----
+    # Production path: bf16 compute + fused Pallas temporal+spatial attention.
     prod = build("bfloat16", fused=True)
-    fused_s, fused_warm = measure(prod, "bf16+fused")
-    # Parity path: pure f32 composite (bit-comparable with the reference math).
-    f32_s, f32_warm = measure(build(None), "f32")
+    fused_s, fused_warm = measure_sampling(prod, "bf16+fused")
+    result.update(
+        {
+            "metric": "ddpm_sample_250step_16f_64x64_b8_wallclock",
+            "value": round(fused_s, 3),
+            "unit": "s",
+            "vs_baseline": round(60.0 / fused_s, 2),
+            "denoise_steps_per_sec_per_chip": round(steps / fused_s / n_chips, 2),
+            "bf16_fused_s": round(fused_s, 3),
+            "devices": n_chips,
+            "compile_s": round(fused_warm - fused_s, 2),
+        }
+    )
+    emit()
 
-    # Fast-sampler capability beyond the reference: 50-step DDIM.
-    def timed_ddim(seed: int) -> float:
-        t0 = time.perf_counter()
-        out = prod.ddim_sample(key=jax.random.PRNGKey(seed), batch_size=batch, num_steps=50)
-        assert float(jnp.mean(out)) == float(jnp.mean(out))
-        return time.perf_counter() - t0
-
-    timed_ddim(0)  # compile
-    ddim_s = min(timed_ddim(i + 1) for i in range(3))
-    print(f"[ddim-50] best: {ddim_s:.3f}s", file=sys.stderr)
-
-    # Second-order multistep ODE sampler: DPM-Solver++(2M) at 20 steps.
-    def timed_dpm(seed: int) -> float:
-        t0 = time.perf_counter()
-        out = prod.dpm_solver_sample(
-            key=jax.random.PRNGKey(seed), batch_size=batch, num_steps=20
-        )
-        assert float(jnp.mean(out)) == float(jnp.mean(out))
-        return time.perf_counter() - t0
-
-    timed_dpm(0)  # compile
-    dpm_s = min(timed_dpm(i + 1) for i in range(3))
-    print(f"[dpm-20] best: {dpm_s:.3f}s", file=sys.stderr)
-
-    # Progressive-distillation sampler cost: 4-step stride-grid DDIM — the
-    # exact program a 2-round-distilled student runs (training/distill.py).
-    # Wall-clock is parameterization-independent, so this measures the
-    # distilled sampler's true cost; sample QUALITY at 4 steps additionally
-    # needs the distillation training.
-    def timed_d4(seed: int) -> float:
-        t0 = time.perf_counter()
-        out = prod.ddim_sample(
-            key=jax.random.PRNGKey(seed), batch_size=batch, num_steps=4,
-            grid="stride",
-        )
-        assert float(jnp.mean(out)) == float(jnp.mean(out))
-        return time.perf_counter() - t0
-
-    timed_d4(0)  # compile
-    d4_s = min(timed_d4(i + 1) for i in range(3))
-    print(f"[distilled-4] best: {d4_s:.3f}s", file=sys.stderr)
-
-    # Guided-sampling ladder: classifier-free guidance pays 2x FLOPs
-    # (batched 2b forward); a guidance-distilled (w-conditioned) student
-    # runs guided sampling in ONE forward. Timing is weight-independent,
-    # so random weights measure the true cost of each path.
-    from video_diffusion_nnx_tpu.models.text import BERT_MODEL_DIM
-
-    def build_cond(guidance_embed: bool):
-        unet = Unet3D(
-            dim=32, rngs=nnx.Rngs(0), dim_mults=(1, 2, 4, 8), channels=channels,
-            use_bert_text_cond=True, compute_dtype="bfloat16",
-            use_fused_attention=True, use_fused_spatial_attention=True,
-            guidance_embed=guidance_embed,
-        )
-        return GaussianDiffusion(
-            unet, image_size=size, num_frames=frames, channels=channels,
-            timesteps=steps, loss_type="l2",
-        )
-
-    cond = jax.random.normal(jax.random.PRNGKey(0), (batch, BERT_MODEL_DIM))
-
-    def timed_guided(model, seed: int) -> float:
-        t0 = time.perf_counter()
-        out = model.ddim_sample(
-            jax.random.PRNGKey(seed), cond=cond, cond_scale=3.0,
-            batch_size=batch, num_steps=50,
-        )
-        assert float(jnp.mean(out)) == float(jnp.mean(out))
-        return time.perf_counter() - t0
-
-    cfg_model = build_cond(False)
-    timed_guided(cfg_model, 0)
-    cfg_s = min(timed_guided(cfg_model, i + 1) for i in range(2))
-    print(f"[cfg ddim-50] best: {cfg_s:.3f}s", file=sys.stderr)
-    ge_model = build_cond(True)
-    timed_guided(ge_model, 0)
-    ge_s = min(timed_guided(ge_model, i + 1) for i in range(2))
-    print(f"[guidance-embed ddim-50] best: {ge_s:.3f}s", file=sys.stderr)
-
-    # Training throughput + MFU at the v2_2 recipe (batch 4, 10 frames,
-    # bf16 compute): one full fwd+bwd+Adam+EMA step.
+    # ----- Training throughput + MFU (v2_2 recipe: batch 4, 10 frames) -----
     import optax
 
-    def train_bench(fused: bool, dim: int = 32):
+    def train_bench(fused: bool, dim: int = 32, compile_only: bool = False):
         t_batch, t_frames = 4, 10
         unet = Unet3D(
             dim=dim,
@@ -214,6 +189,8 @@ def main() -> None:
             cost = cost[0] if cost else {}
         step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
         step_bytes = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
+        if compile_only:
+            return None, step_flops, step_bytes
 
         params, opt, ema, loss = step(params, opt, ema, x, key)
         float(loss)  # force full materialization over the tunnel
@@ -227,22 +204,165 @@ def main() -> None:
         print(f"[train dim{dim} b4 bf16 {tag}] {dt*1000:.1f} ms/step", file=sys.stderr)
         return dt, step_flops, step_bytes
 
-    train_comp_s, train_flops, train_bytes = train_bench(fused=False)
-    train_fused_s, _, train_fused_bytes = train_bench(fused=True)
-    train_s = min(train_comp_s, train_fused_s)
-    # Production-scale model (config_v2_3: dim 128) — the shape where MXU
-    # utilization matters; the dim-32 recipe is HBM-bound (VERDICT r2 weak #1).
-    train128_s, train128_flops, train128_bytes = train_bench(fused=True, dim=128)
+    def do_train_fused():
+        dt, flops, nbytes = train_bench(fused=True)
+        result["train_step_v2_2_b4_bf16_ms"] = round(dt * 1000, 1)
+        result["train_step_fused_ms"] = round(dt * 1000, 1)
+        result["train_steps_per_sec_per_chip"] = round(1.0 / dt, 2)
+        result["train_mfu_est"] = round(flops / dt / _V5E_PEAK_FLOPS, 4) if flops else 0.0
+        result["train_hbm_frac"] = (
+            round(nbytes / dt / _V5E_PEAK_HBM_BPS, 3) if nbytes else 0.0
+        )
+        result["train_step_flops"] = flops
 
-    # Long-clip (128-frame) train step: the blockwise (flash-style) temporal
-    # kernels vs the XLA composite, which materializes the f x f attention
-    # panels in HBM. 64x64 spatial is the representative shape: the panel
-    # traffic scales with hw, so the fused win appears from ~64px up
-    # (measured: 166.9 vs 206.2 ms here; at 32x32 the two are neutral,
-    # 53.7 vs 51.1 — the kernels' value there is the VMEM-bounded
-    # capability, not speed). Guarded: a failure here must not cost the
-    # headline metric.
+    # The train step is an UNSHARDED jit: it runs on one chip regardless of
+    # the host's device count, so its per-chip numbers divide by 1 (the
+    # sampling path shards over all chips and divides by n_chips).
+    stage("train-fused", est_s=240, fn=do_train_fused)
+
+    def do_train_dim128():
+        # Production-scale model (config_v2_3: dim 128) — the shape where MXU
+        # utilization matters; the dim-32 recipe is HBM-bound (VERDICT r2).
+        dt, flops, nbytes = train_bench(fused=True, dim=128)
+        result["train_step_dim128_ms"] = round(dt * 1000, 1)
+        result["train_mfu_dim128"] = round(flops / dt / _V5E_PEAK_FLOPS, 4) if flops else 0.0
+        result["train_hbm_frac_dim128"] = (
+            round(nbytes / dt / _V5E_PEAK_HBM_BPS, 3) if nbytes else 0.0
+        )
+
+    stage("train-dim128", est_s=240, fn=do_train_dim128)
+
+    # ----- Fast samplers (reuse the already-built prod model) -----
+    def sampler_best(fn, tag, n_runs=3):
+        def timed(seed: int) -> float:
+            t0 = time.perf_counter()
+            out = fn(seed)
+            assert float(jnp.mean(out)) == float(jnp.mean(out))
+            return time.perf_counter() - t0
+
+        timed(0)  # compile
+        best = min(timed(i + 1) for i in range(n_runs))
+        print(f"[{tag}] best: {best:.3f}s", file=sys.stderr)
+        return best
+
+    def do_ddim():
+        result["ddim_50step_s"] = round(
+            sampler_best(
+                lambda s: prod.ddim_sample(
+                    key=jax.random.PRNGKey(s), batch_size=batch, num_steps=50
+                ),
+                "ddim-50",
+            ),
+            3,
+        )
+
+    stage("ddim-50", est_s=150, fn=do_ddim)
+
+    def do_dpm():
+        # Second-order multistep ODE sampler: DPM-Solver++(2M) at 20 steps.
+        result["dpm_solver_20step_s"] = round(
+            sampler_best(
+                lambda s: prod.dpm_solver_sample(
+                    key=jax.random.PRNGKey(s), batch_size=batch, num_steps=20
+                ),
+                "dpm-20",
+            ),
+            3,
+        )
+
+    stage("dpm-20", est_s=150, fn=do_dpm)
+
+    def do_distilled4():
+        # Progressive-distillation sampler cost: 4-step stride-grid DDIM — the
+        # exact program a 2-round-distilled student runs (training/distill.py).
+        # Wall-clock is parameterization-independent, so this measures the
+        # distilled sampler's true cost; sample QUALITY at 4 steps additionally
+        # needs the distillation training.
+        result["distilled_4step_sampler_s"] = round(
+            sampler_best(
+                lambda s: prod.ddim_sample(
+                    key=jax.random.PRNGKey(s), batch_size=batch, num_steps=4,
+                    grid="stride",
+                ),
+                "distilled-4",
+            ),
+            3,
+        )
+
+    stage("distilled-4", est_s=120, fn=do_distilled4)
+
+    def do_train_composite():
+        dt, flops, _ = train_bench(fused=False)
+        result["train_step_composite_ms"] = round(dt * 1000, 1)
+        # The fused program's cost analysis undercounts FLOPs (Pallas custom
+        # calls report none: 305 vs 629 GF measured), so recompute MFU from
+        # the composite program's full algorithmic FLOP count over the fused
+        # step time once it is known.
+        if flops and result.get("train_step_fused_ms"):
+            fused_dt = result["train_step_fused_ms"] / 1000.0
+            result["train_step_flops"] = flops
+            result["train_mfu_est"] = round(flops / fused_dt / _V5E_PEAK_FLOPS, 4)
+
+    stage("train-composite", est_s=240, fn=do_train_composite)
+
+    # ----- Guided-sampling ladder (2 extra full model compiles) -----
+    def do_guided():
+        # Classifier-free guidance pays 2x FLOPs (batched 2b forward); a
+        # guidance-distilled (w-conditioned) student runs guided sampling in
+        # ONE forward. Timing is weight-independent, so random weights
+        # measure the true cost of each path.
+        from video_diffusion_nnx_tpu.models.text import BERT_MODEL_DIM
+
+        def build_cond(guidance_embed: bool):
+            unet = Unet3D(
+                dim=32, rngs=nnx.Rngs(0), dim_mults=(1, 2, 4, 8), channels=channels,
+                use_bert_text_cond=True, compute_dtype="bfloat16",
+                use_fused_attention=True, use_fused_spatial_attention=True,
+                guidance_embed=guidance_embed,
+            )
+            return GaussianDiffusion(
+                unet, image_size=size, num_frames=frames, channels=channels,
+                timesteps=steps, loss_type="l2",
+            )
+
+        cond = jax.random.normal(jax.random.PRNGKey(0), (batch, BERT_MODEL_DIM))
+
+        def guided_best(model, tag):
+            return sampler_best(
+                lambda s: model.ddim_sample(
+                    jax.random.PRNGKey(s), cond=cond, cond_scale=3.0,
+                    batch_size=batch, num_steps=50,
+                ),
+                tag,
+                n_runs=2,
+            )
+
+        result["cfg_ddim50_s"] = round(guided_best(build_cond(False), "cfg ddim-50"), 3)
+        emit()
+        if _remaining() < 180:
+            print("[budget] skipping guidance-embed half", file=sys.stderr)
+            return
+        result["guidance_embed_ddim50_s"] = round(
+            guided_best(build_cond(True), "guidance-embed ddim-50"), 3
+        )
+
+    stage("guided-pair", est_s=360, fn=do_guided)
+
+    def do_f32_parity():
+        # Parity path: pure f32 composite (bit-comparable with reference math).
+        # Stable to <3% across runs and rounds (43.7-43.8 s every round), so
+        # one timed run suffices and the stage ranks below the newer numbers.
+        f32_s, _ = measure_sampling(build(None), "f32", n_runs=1)
+        result["f32_parity_s"] = round(f32_s, 3)
+
+    # ----- Long-clip (128-frame) train step -----
     def train_bench_long(fused: bool):
+        # Blockwise (flash-style) temporal kernels vs the XLA composite,
+        # which materializes the f x f attention panels in HBM. 64x64
+        # spatial is the representative shape: the panel traffic scales with
+        # hw, so the fused win appears from ~64px up (measured: 166.9 vs
+        # 206.2 ms here; at 32x32 the two are neutral, 53.7 vs 51.1 — the
+        # kernels' value there is the VMEM-bounded capability, not speed).
         lc_batch, lc_frames, lc_size = 1, 128, 64
         unet = Unet3D(
             dim=32, rngs=nnx.Rngs(0), dim_mults=(1, 2, 4, 8), channels=channels,
@@ -277,65 +397,96 @@ def main() -> None:
         float(loss)
         dt = (time.perf_counter() - t0) / n
         tag = "fused" if fused else "composite"
-        print(f"[train 128f 32x32 b1 bf16 {tag}] {dt*1000:.1f} ms/step", file=sys.stderr)
+        print(f"[train 128f 64x64 b1 bf16 {tag}] {dt*1000:.1f} ms/step", file=sys.stderr)
         return dt
 
-    long_fused_ms = long_comp_ms = None
-    try:
-        long_fused_ms = round(train_bench_long(fused=True) * 1000, 1)
-        long_comp_ms = round(train_bench_long(fused=False) * 1000, 1)
-    except Exception as e:
-        print(f"[train 128f] long-clip bench skipped: {e}", file=sys.stderr)
+    def do_long_fused():
+        result["train_step_128f_fused_ms"] = round(train_bench_long(fused=True) * 1000, 1)
 
-    elapsed = min(fused_s, f32_s)
-    n_chips = jax.device_count()
-    # The train bench is an UNSHARDED jit: it runs on one chip regardless of
-    # the host's device count, so its per-chip numbers divide by 1 (the
-    # sampling path shards over all chips and divides by n_chips).
-    train_mfu = (train_flops / train_s / _V5E_PEAK_FLOPS) if train_flops else 0.0
-    # Roofline: fraction of peak HBM bandwidth the step achieves. XLA's
-    # "bytes accessed" counts logical buffer traffic for the UNFUSED-cost
-    # model, an upper bound on real HBM traffic — so hbm_frac near or
-    # above ~0.5 with low MFU is positive proof the step is bandwidth-
-    # limited, not compute-limited.
-    train_hbm_frac = (
-        (train_fused_bytes / train_fused_s / _V5E_PEAK_HBM_BPS) if train_fused_bytes else 0.0
-    )
-    train128_mfu = (train128_flops / train128_s / _V5E_PEAK_FLOPS) if train128_flops else 0.0
-    train128_hbm_frac = (
-        (train128_bytes / train128_s / _V5E_PEAK_HBM_BPS) if train128_bytes else 0.0
-    )
+    def do_long_comp():
+        result["train_step_128f_composite_ms"] = round(
+            train_bench_long(fused=False) * 1000, 1
+        )
 
-    result = {
-        "metric": "ddpm_sample_250step_16f_64x64_b8_wallclock",
-        "value": round(elapsed, 3),
-        "unit": "s",
-        "vs_baseline": round(60.0 / elapsed, 2),
-        "denoise_steps_per_sec_per_chip": round(steps / elapsed / n_chips, 2),
-        "f32_parity_s": round(f32_s, 3),
-        "bf16_fused_s": round(fused_s, 3),
-        "ddim_50step_s": round(ddim_s, 3),
-        "dpm_solver_20step_s": round(dpm_s, 3),
-        "distilled_4step_sampler_s": round(d4_s, 3),
-        "cfg_ddim50_s": round(cfg_s, 3),
-        "guidance_embed_ddim50_s": round(ge_s, 3),
-        "train_step_v2_2_b4_bf16_ms": round(train_s * 1000, 1),
-        "train_steps_per_sec_per_chip": round(1.0 / train_s, 2),
-        "train_step_composite_ms": round(train_comp_s * 1000, 1),
-        "train_step_fused_ms": round(train_fused_s * 1000, 1),
-        "train_mfu_est": round(train_mfu, 4),
-        "train_hbm_frac": round(train_hbm_frac, 3),
-        "train_step_flops": train_flops,
-        "train_step_dim128_ms": round(train128_s * 1000, 1),
-        "train_mfu_dim128": round(train128_mfu, 4),
-        "train_hbm_frac_dim128": round(train128_hbm_frac, 3),
-        "devices": n_chips,
-        "compile_s": round(fused_warm - fused_s, 2),
-    }
-    if long_fused_ms is not None:
-        result["train_step_128f_fused_ms"] = long_fused_ms
-        result["train_step_128f_composite_ms"] = long_comp_ms
-    print(json.dumps(result))
+
+    # ----- Second denoiser family: VideoDiT at comparable scale -----
+    def do_dit():
+        from video_diffusion_nnx_tpu.models import VideoDiT
+
+        dit = VideoDiT(
+            dim=384, depth=8, attn_heads=6, attn_dim_head=64, patch_size=8,
+            rngs=nnx.Rngs(0), channels=channels, compute_dtype="bfloat16",
+            use_fused_attention=True,
+        )
+        diff = GaussianDiffusion(
+            dit, image_size=size, num_frames=frames, channels=channels,
+            timesteps=steps, loss_type="l2",
+        )
+        graphdef, params = nnx.split(diff)
+        tx = optax.adam(1e-4)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, x, key):
+            def loss_fn(p):
+                return nnx.merge(graphdef, p)(x, key=key)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt, loss
+
+        x = jnp.zeros((4, channels, 10, size, size), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        compiled = step.lower(params, opt, x, key).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        params, opt, loss = step(params, opt, x, key)
+        float(loss)
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, opt, loss = step(params, opt, x, key)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n
+        print(f"[dit train b4 bf16 fused] {dt*1000:.1f} ms/step", file=sys.stderr)
+        result["dit_train_step_b4_bf16_ms"] = round(dt * 1000, 1)
+        result["dit_train_mfu_est"] = round(flops / dt / _V5E_PEAK_FLOPS, 4) if flops else 0.0
+        emit()
+        if _remaining() < 150:
+            print("[budget] skipping DiT sampling half", file=sys.stderr)
+            return
+        model = nnx.merge(graphdef, params)
+        result["dit_ddim50_s"] = round(
+            sampler_best(
+                lambda s: model.ddim_sample(
+                    key=jax.random.PRNGKey(s), batch_size=batch, num_steps=50
+                ),
+                "dit ddim-50",
+            ),
+            3,
+        )
+
+    stage("dit-family", est_s=300, fn=do_dit)
+    stage("f32-parity", est_s=300, fn=do_f32_parity)
+    stage("long-clip-fused", est_s=240, fn=do_long_fused)
+    stage("long-clip-composite", est_s=240, fn=do_long_comp)
+
+    def do_dim128_true_flops():
+        # True algorithmic FLOPs for the dim-128 step: the fused program's
+        # cost analysis misses the Pallas kernels' FLOPs, so lower the
+        # composite program (compile only, never run) and recompute the
+        # dim-128 MFU over the already-measured fused step time.
+        _, flops, _ = train_bench(fused=False, dim=128, compile_only=True)
+        if flops and result.get("train_step_dim128_ms"):
+            dt = result["train_step_dim128_ms"] / 1000.0
+            result["train_step_dim128_flops"] = flops
+            result["train_mfu_dim128"] = round(flops / dt / _V5E_PEAK_FLOPS, 4)
+
+    stage("dim128-true-flops", est_s=240, fn=do_dim128_true_flops)
+
+    emit()
 
 
 if __name__ == "__main__":
