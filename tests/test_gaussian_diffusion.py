@@ -315,6 +315,42 @@ class TestDDIM:
         )
         assert out.shape == (8, C, F, H, W)
 
+    def test_ddim_init_noise_matches_keyed_draw(self, diffusion):
+        """Passing the same x_T the key chain would draw reproduces the keyed
+        run bitwise — the contract the serving micro-batcher relies on."""
+        k = jax.random.PRNGKey(7)
+        keyed = diffusion.ddim_sample(key=k, batch_size=2, num_steps=5)
+        x_T = jax.random.normal(jax.random.split(k)[1], SHAPE)
+        explicit = diffusion.ddim_sample(
+            key=jax.random.PRNGKey(999), batch_size=2, num_steps=5, init_noise=x_T
+        )
+        np.testing.assert_array_equal(np.asarray(keyed), np.asarray(explicit))
+
+    def test_ddim_init_noise_batch_coalescing(self, diffusion):
+        """At eta=0 each sample is a pure function of its own x_T: a batched
+        run over stacked noises equals the per-sample runs — so the server
+        may coalesce concurrent requests into one sampler call without
+        changing any request's output."""
+        k = jax.random.PRNGKey(3)
+        one_shape = (1,) + SHAPE[1:]
+        n0 = jax.random.normal(jax.random.fold_in(k, 0), one_shape)
+        n1 = jax.random.normal(jax.random.fold_in(k, 1), one_shape)
+        solo0 = diffusion.ddim_sample(key=k, batch_size=1, num_steps=5, init_noise=n0)
+        solo1 = diffusion.ddim_sample(key=k, batch_size=1, num_steps=5, init_noise=n1)
+        both = diffusion.ddim_sample(
+            key=k, batch_size=2, num_steps=5, init_noise=jnp.concatenate([n0, n1])
+        )
+        np.testing.assert_allclose(
+            np.asarray(both), np.concatenate([solo0, solo1]), atol=1e-5, rtol=1e-5
+        )
+
+    def test_ddim_init_noise_shape_validated(self, diffusion):
+        with pytest.raises(ValueError, match="init_noise"):
+            diffusion.ddim_sample(
+                key=jax.random.PRNGKey(0), batch_size=2, num_steps=5,
+                init_noise=jnp.zeros((1, 1, 1, 1, 1)),
+            )
+
 
 class OracleDenoiser(nnx.Module):
     """Knows the clean target: eps(x, t) = (x - sqrt(acp_t) x0) / sqrt(1-acp_t).
@@ -347,6 +383,16 @@ class LinearDenoiser(nnx.Module):
 
 
 class TestDPMSolver:
+    def test_dpm_init_noise_matches_keyed_draw(self, diffusion):
+        """Same init_noise contract as ddim_sample (this solver is an ODE)."""
+        k = jax.random.PRNGKey(11)
+        keyed = diffusion.dpm_solver_sample(key=k, batch_size=2, num_steps=5)
+        x_T = jax.random.normal(jax.random.split(k)[1], SHAPE)
+        explicit = diffusion.dpm_solver_sample(
+            key=jax.random.PRNGKey(999), batch_size=2, num_steps=5, init_noise=x_T
+        )
+        np.testing.assert_array_equal(np.asarray(keyed), np.asarray(explicit))
+
     def test_dpm_shape_and_finite(self, diffusion):
         out = diffusion.dpm_solver_sample(
             key=jax.random.PRNGKey(0), batch_size=2, num_steps=5
@@ -776,6 +822,28 @@ class TestMinSnrWeighting:
             w, target = clamped, np.asarray(x0)
         np.testing.assert_allclose(
             float(loss), float(np.mean(w * target**2)), rtol=1e-5
+        )
+
+    def test_l1_uses_sqrt_weight(self):
+        """l1 + min-SNR applies sqrt(w): the weights are derived for squared
+        error, so raw w on |e| would square the intended effective weighting
+        (advisor r3 finding)."""
+        gamma = 5.0
+        d = GaussianDiffusion(
+            ZeroDenoiser(), image_size=8, num_frames=2, channels=1,
+            timesteps=20, loss_type="l1", prediction_type="noise",
+            min_snr_gamma=gamma,
+        )
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(key, SHAPE) * 0.5
+        eps = jax.random.normal(jax.random.fold_in(key, 1), SHAPE)
+        t = jnp.array([2, 17])
+        loss = d.p_losses(x0, t, key=jax.random.PRNGKey(1), noise=eps)
+        acp = np.asarray(d.alphas_cumprod[...])[np.asarray(t)].reshape(-1, 1, 1, 1, 1)
+        snr = acp / (1 - acp)
+        w = np.sqrt(np.minimum(snr, gamma) / snr)
+        np.testing.assert_allclose(
+            float(loss), float(np.mean(w * np.abs(eps))), rtol=1e-5
         )
 
     def test_none_is_parity(self):

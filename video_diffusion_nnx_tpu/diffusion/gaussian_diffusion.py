@@ -403,6 +403,7 @@ class GaussianDiffusion(nnx.Module):
         eta: float = 0.0,
         mesh: Mesh | None = None,
         grid: str = "linspace",
+        init_noise: jax.Array | None = None,
     ) -> jax.Array:
         """DDIM sampling (Song et al. 2021) — a fast sampler beyond the
         reference's capabilities: 20-50 denoise steps instead of the full
@@ -416,6 +417,13 @@ class GaussianDiffusion(nnx.Module):
         nested family where the N-step grid is every other point of the
         2N-step grid, which is what progressive distillation trains on; use
         it when sampling a distilled student).
+
+        ``init_noise`` (optional, shape ``(b, c, f, h, w)``) supplies the
+        starting x_T instead of drawing it from ``key``. At ``eta=0`` the
+        chain is a deterministic ODE in x_T, so the output is then fully
+        determined per-sample regardless of how samples are batched — the
+        property the serving micro-batcher (scripts/serve.py) relies on to
+        coalesce requests while keeping each request seed-reproducible.
         """
         if is_list_str(cond):
             cond = jnp.asarray(
@@ -424,6 +432,8 @@ class GaussianDiffusion(nnx.Module):
         if exists(cond):
             batch_size = cond.shape[0]
         shape = (batch_size, self.channels, self.num_frames, self.image_size, self.image_size)
+        if init_noise is not None and tuple(init_noise.shape) != shape:
+            raise ValueError(f"init_noise must have shape {shape}, got {init_noise.shape}")
 
         graphdef, state = nnx.split(self)
         if mesh is None:
@@ -436,13 +446,16 @@ class GaussianDiffusion(nnx.Module):
         et = float(eta)
         cache_key = (
             graphdef, shape, self.num_timesteps, num_steps, mesh, batch_spec, cs, et,
-            cond is not None, grid,
+            cond is not None, grid, init_noise is not None,
         )
         cached = _cache_get(cache_key)
         if cached is not None:
-            if cond is None:
-                return cached(state, key)
-            return cached(state, key, cond)
+            args = [state, key]
+            if cond is not None:
+                args.append(cond)
+            if init_noise is not None:
+                args.append(init_noise)
+            return cached(*args)
 
         # Timestep subsequence T-1 -> 0 and its shifted successor
         # (prev index; -1 terminates at alpha_cumprod = 1).
@@ -450,10 +463,10 @@ class GaussianDiffusion(nnx.Module):
         times_prev = jnp.concatenate([times[1:], jnp.array([-1], jnp.int32)])
         acp = self.alphas_cumprod[...]
 
-        def run(state, key, cond=None):
+        def run(state, key, cond=None, x_T=None):
             model = nnx.merge(graphdef, state)
             key, init_key = jax.random.split(key)
-            img = jax.random.normal(init_key, shape)
+            img = jax.random.normal(init_key, shape) if x_T is None else x_T
             img = jax.lax.with_sharding_constraint(img, img_sharding)
 
             def body(carry, tt):
@@ -487,18 +500,23 @@ class GaussianDiffusion(nnx.Module):
             (img, _), _ = jax.lax.scan(body, (img, key), (times, times_prev))
             return unnormalize_img(img)
 
-        if cond is not None:
-            jitted = jax.jit(run, in_shardings=(repl, repl, repl), out_shardings=img_sharding)
+        has_c, has_n = cond is not None, init_noise is not None
+        if has_c and has_n:
+            fn, shardings = run, (repl, repl, repl, img_sharding)
+        elif has_c:
+            fn, shardings = (lambda s, k, c: run(s, k, c)), (repl, repl, repl)
+        elif has_n:
+            fn, shardings = (lambda s, k, xT: run(s, k, None, xT)), (repl, repl, img_sharding)
         else:
-            jitted = jax.jit(
-                lambda state, key: run(state, key),
-                in_shardings=(repl, repl),
-                out_shardings=img_sharding,
-            )
+            fn, shardings = (lambda s, k: run(s, k)), (repl, repl)
+        jitted = jax.jit(fn, in_shardings=shardings, out_shardings=img_sharding)
         _cache_put(cache_key, jitted)
-        if cond is None:
-            return jitted(state, key)
-        return jitted(state, key, cond)
+        args = [state, key]
+        if has_c:
+            args.append(cond)
+        if has_n:
+            args.append(init_noise)
+        return jitted(*args)
 
     def dpm_solver_sample(
         self,
@@ -508,10 +526,16 @@ class GaussianDiffusion(nnx.Module):
         batch_size: int = 16,
         num_steps: int = 20,
         mesh: Mesh | None = None,
+        init_noise: jax.Array | None = None,
     ) -> jax.Array:
         """DPM-Solver++(2M) sampling (Lu et al. 2022) — a second-order
         multistep ODE solver beyond the reference's capabilities: 10-20
         denoise steps for quality comparable to DDIM at 50. Deterministic.
+
+        ``init_noise`` supplies the starting x_T instead of drawing it from
+        ``key`` — same per-sample-determinism contract as ``ddim_sample``
+        (this solver is an ODE, so the output is a function of x_T alone),
+        used by the serving micro-batcher.
 
         Data-prediction formulation: each step evaluates the denoiser once
         and combines the current and previous clipped x0 predictions with
@@ -528,6 +552,8 @@ class GaussianDiffusion(nnx.Module):
         if exists(cond):
             batch_size = cond.shape[0]
         shape = (batch_size, self.channels, self.num_frames, self.image_size, self.image_size)
+        if init_noise is not None and tuple(init_noise.shape) != shape:
+            raise ValueError(f"init_noise must have shape {shape}, got {init_noise.shape}")
 
         graphdef, state = nnx.split(self)
         if mesh is None:
@@ -539,13 +565,16 @@ class GaussianDiffusion(nnx.Module):
         cs = float(cond_scale)
         cache_key = (
             "dpm2m", graphdef, shape, self.num_timesteps, num_steps, mesh,
-            batch_spec, cs, cond is not None,
+            batch_spec, cs, cond is not None, init_noise is not None,
         )
         cached = _cache_get(cache_key)
         if cached is not None:
-            if cond is None:
-                return cached(state, key)
-            return cached(state, key, cond)
+            args = [state, key]
+            if cond is not None:
+                args.append(cond)
+            if init_noise is not None:
+                args.append(init_noise)
+            return cached(*args)
 
         times = jnp.linspace(0, self.num_timesteps - 1, num_steps).round().astype(jnp.int32)
         times = times[::-1]
@@ -556,13 +585,13 @@ class GaussianDiffusion(nnx.Module):
             a = jnp.clip(a, 1e-12, 1.0 - 1e-12)
             return 0.5 * (jnp.log(a) - jnp.log1p(-a))
 
-        def run(state, key, cond=None):
+        def run(state, key, cond=None, x_T=None):
             model = nnx.merge(graphdef, state)
             # Same init-noise key chain as ddim_sample: dpm(num_steps=N) and
             # ddim(eta=0) integrate the SAME ODE from the SAME x_T, so their
             # outputs converge to each other as N grows (tested).
             key, init_key = jax.random.split(key)
-            img = jax.random.normal(init_key, shape)
+            img = jax.random.normal(init_key, shape) if x_T is None else x_T
             img = jax.lax.with_sharding_constraint(img, img_sharding)
 
             def body(carry, step):
@@ -602,18 +631,23 @@ class GaussianDiffusion(nnx.Module):
             (img, _, _), _ = jax.lax.scan(body, init, steps)
             return unnormalize_img(img)
 
-        if cond is not None:
-            jitted = jax.jit(run, in_shardings=(repl, repl, repl), out_shardings=img_sharding)
+        has_c, has_n = cond is not None, init_noise is not None
+        if has_c and has_n:
+            fn, shardings = run, (repl, repl, repl, img_sharding)
+        elif has_c:
+            fn, shardings = (lambda s, k, c: run(s, k, c)), (repl, repl, repl)
+        elif has_n:
+            fn, shardings = (lambda s, k, xT: run(s, k, None, xT)), (repl, repl, img_sharding)
         else:
-            jitted = jax.jit(
-                lambda state, key: run(state, key),
-                in_shardings=(repl, repl),
-                out_shardings=img_sharding,
-            )
+            fn, shardings = (lambda s, k: run(s, k)), (repl, repl)
+        jitted = jax.jit(fn, in_shardings=shardings, out_shardings=img_sharding)
         _cache_put(cache_key, jitted)
-        if cond is None:
-            return jitted(state, key)
-        return jitted(state, key, cond)
+        args = [state, key]
+        if has_c:
+            args.append(cond)
+        if has_n:
+            args.append(init_noise)
+        return jitted(*args)
 
     def sample(
         self,
@@ -954,6 +988,11 @@ class GaussianDiffusion(nnx.Module):
             w = clamped / (snr + 1.0)
         else:  # "x0"
             w = clamped
+        if self.loss_type == "l1":
+            # The min-SNR weights are derived for SQUARED error; |e| scales
+            # linearly in the residual, so the equivalent per-sample
+            # weighting is sqrt(w) (w * e^2 == (sqrt(w) * e)^2).
+            w = jnp.sqrt(w)
         return jnp.mean(w * err)
 
     def __call__(self, x: jax.Array, key: jax.Array, *args: Any, **kwargs: Any) -> jax.Array:
