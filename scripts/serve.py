@@ -24,10 +24,22 @@ POST /sample  (JSON body) ->
     Default sampler: ddim (the path --warmup compiles). "ddpm" runs the
     full T-step chain; knobs a sampler would ignore are rejected with 400.
 
-Requests are serialized behind a lock (one accelerator, one program at a
-time); repeated (shape, sampler) pairs reuse the compiled executable, so
+Device calls are serialized behind a lock (one accelerator, one program at
+a time); repeated (shape, sampler) pairs reuse the compiled executable, so
 steady-state latency is the pure sampler wall-clock (bench.py: 2.4 s for
 DDIM-50 at batch 8, 0.33 s for a 4-step distilled student).
+
+Micro-batching (v2): concurrent /sample requests using a deterministic ODE
+sampler (ddim at eta=0, dpm) are COALESCED into one batched device call.
+Each request's x_T is derived from its own seed exactly as the solo keyed
+path would draw it, and at eta=0 every output row is a pure function of its
+own x_T (tested: test_gaussian_diffusion.py::test_ddim_init_noise_batch_
+coalescing), so coalescing changes no request's result. The chip saturates
+near batch 8, so N queued DDIM-50 requests cost ~1 sampler call instead of
+N. Coalesced batches pad to the next power of two (rows reused from the
+batch) so each request-shape group compiles at most log2(max_rows)+1
+programs — remote compiles cost minutes, so bounding the compile set is
+what makes dynamic batching viable. Disable with --no-batching.
 """
 
 from __future__ import annotations
@@ -50,12 +62,177 @@ log = logging.getLogger("serve")
 _ALLOWED_SAMPLERS = ("ddpm", "ddim", "dpm")
 
 
+def _coerce(req: dict, key: str, cast, default):
+    """Fetch-and-cast a request scalar; malformed values (JSON null, lists,
+    objects) become ValueError -> HTTP 400 like every other validation
+    failure, not the 500 a bare TypeError would get."""
+    val = req.get(key, default)
+    try:
+        return cast(val)
+    except (TypeError, ValueError):
+        raise ValueError(f"{key} must be a {cast.__name__}") from None
+
+
+class _Pending:
+    """One request's share of a (possibly coalesced) batch."""
+
+    __slots__ = (
+        "noise", "cond", "event", "rows", "group_size", "error", "t_enq", "wait_s"
+    )
+
+    def __init__(self, noise, cond):
+        self.noise = noise
+        self.cond = cond
+        self.event = threading.Event()
+        self.rows = None
+        self.group_size = 1
+        self.error = None
+        self.t_enq = time.monotonic()
+        self.wait_s = 0.0
+
+
+class MicroBatcher:
+    """Coalesces concurrent, compatible sampler requests into one device call.
+
+    Requests are bucketed by a group key (sampler, num_steps, grid,
+    cond_scale, conditioned?); the dispatcher takes the bucket holding the
+    oldest pending request, lingers up to ``window_s`` for same-key arrivals
+    (or until ``max_rows`` samples are queued), then hands the whole bucket
+    to ``run_batch`` in one call. Results are split back per request.
+
+    Correctness rests on the samplers' ``init_noise`` contract: at eta=0
+    the chain is an ODE, so each output row depends only on its own x_T —
+    stacking requests is observationally identical to running them solo.
+    """
+
+    def __init__(self, run_batch, max_rows: int = 8, window_s: float = 0.05):
+        self._run_batch = run_batch
+        self.max_rows = max_rows
+        self.window_s = window_s
+        self._buckets: dict = {}
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._loop, name="micro-batcher", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, group_key, noise, cond):
+        """Block until this request's rows are sampled; returns
+        ``(rows, group_size, queue_wait_s)``."""
+        p = _Pending(noise, cond)
+        with self._cv:
+            self._buckets.setdefault(group_key, []).append(p)
+            self._cv.notify_all()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.rows, p.group_size, p.wait_s
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def _take_batch(self):
+        """(Under the cv) pick the bucket with the oldest request, linger
+        for the batching window, then pop up to max_rows samples from it."""
+        key = min(
+            (k for k, b in self._buckets.items() if b),
+            key=lambda k: self._buckets[k][0].t_enq,
+        )
+        deadline = self._buckets[key][0].t_enq + self.window_s
+        while not self._stop:
+            rows = sum(p.noise.shape[0] for p in self._buckets[key])
+            now = time.monotonic()
+            if rows >= self.max_rows or now >= deadline:
+                break
+            self._cv.wait(timeout=deadline - now)
+        bucket = self._buckets[key]
+        batch, taken = [], 0
+        while bucket and taken + bucket[0].noise.shape[0] <= self.max_rows:
+            p = bucket.pop(0)
+            batch.append(p)
+            taken += p.noise.shape[0]
+        if not batch:  # single request larger than max_rows: run it alone
+            batch.append(bucket.pop(0))
+        if not bucket:
+            del self._buckets[key]
+        return key, batch
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._stop and not any(self._buckets.values()):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                key, batch = self._take_batch()
+            t_run = time.monotonic()
+            try:
+                out = self._run_batch(key, batch)
+                off = 0
+                for p in batch:
+                    n = p.noise.shape[0]
+                    p.rows = out[off : off + n]
+                    p.group_size = len(batch)
+                    p.wait_s = t_run - p.t_enq
+                    off += n
+            except Exception as e:  # noqa: BLE001 — deliver to every waiter
+                for p in batch:
+                    p.error = e
+            finally:
+                for p in batch:
+                    p.event.set()
+
+
 class SamplingService:
     """Owns the model and serializes sampler invocations."""
 
-    def __init__(self, model):
+    def __init__(self, model, batch_window_s: float | None = 0.05,
+                 max_batch_rows: int = 8):
         self.model = model
         self.lock = threading.Lock()
+        self.batcher = (
+            MicroBatcher(self._run_batch, max_batch_rows, batch_window_s)
+            if batch_window_s is not None
+            else None
+        )
+
+    def _run_batch(self, group_key, batch):
+        """Execute one coalesced sampler call (dispatcher thread)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        sampler, num_steps, grid, cond_scale, _ = group_key
+        noise = jnp.concatenate([p.noise for p in batch])
+        cond = None
+        if batch[0].cond is not None:
+            cond = jnp.concatenate([p.cond for p in batch])
+        n = noise.shape[0]
+        # Pad to the next power of two (reusing the batch's own rows) so
+        # each group key needs at most log2(max_rows)+1 compiled programs.
+        npad = 1 << (n - 1).bit_length()
+        if npad > n:
+            reps = -(-(npad - n) // n) + 1
+            noise = jnp.concatenate([noise] * reps)[:npad]
+            if cond is not None:
+                cond = jnp.concatenate([cond] * reps)[:npad]
+        key = jax.random.PRNGKey(0)  # unused: x_T is explicit, eta=0
+        with self.lock:
+            if sampler == "ddim":
+                out = self.model.ddim_sample(
+                    key, cond=cond, cond_scale=cond_scale, batch_size=npad,
+                    num_steps=num_steps, eta=0.0, grid=grid, init_noise=noise,
+                )
+            else:  # dpm
+                out = self.model.dpm_solver_sample(
+                    key, cond=cond, cond_scale=cond_scale, batch_size=npad,
+                    num_steps=num_steps, init_noise=noise,
+                )
+            return np.asarray(out)[:n]
 
     def info(self) -> dict:
         import jax
@@ -64,6 +241,11 @@ class SamplingService:
         return {
             "status": "ok",
             "devices": jax.device_count(),
+            "batching": (
+                {"window_s": self.batcher.window_s, "max_rows": self.batcher.max_rows}
+                if self.batcher is not None
+                else None
+            ),
             "model": {
                 "image_size": m.image_size,
                 "num_frames": m.num_frames,
@@ -130,10 +312,10 @@ class SamplingService:
         sampler = req.get("sampler", "ddim")
         if sampler not in _ALLOWED_SAMPLERS:
             raise ValueError(f"sampler must be one of {_ALLOWED_SAMPLERS}")
-        batch_size = int(req.get("batch_size", 1))
+        batch_size = _coerce(req, "batch_size", int, 1)
         if not 1 <= batch_size <= 64:
             raise ValueError("batch_size must be in [1, 64]")
-        num_steps = int(req.get("num_steps", 50))
+        num_steps = _coerce(req, "num_steps", int, 50)
         if not 1 <= num_steps <= self.model.num_timesteps:
             raise ValueError(f"num_steps must be in [1, {self.model.num_timesteps}]")
         # Reject knobs the chosen sampler would silently ignore — a
@@ -150,16 +332,49 @@ class SamplingService:
         grid = req.get("grid", "linspace")
         if grid not in ("linspace", "stride"):
             raise ValueError("grid must be 'linspace' or 'stride'")
-        eta = float(req.get("eta", 0.0))
-        seed = int(req.get("seed", 0))
+        eta = _coerce(req, "eta", float, 0.0)
+        seed = _coerce(req, "seed", int, 0)
         cond, batch_size = self._validate_text(req, batch_size)
-        cond_scale = float(req.get("cond_scale", 1.0))
+        cond_scale = _coerce(req, "cond_scale", float, 1.0)
         # NaN never compares equal, so it would miss (and pollute) the
         # compiled-sampler LRU on every request; json.loads accepts it.
         if not (math.isfinite(eta) and math.isfinite(cond_scale)):
             raise ValueError("eta and cond_scale must be finite")
 
         key = jax.random.PRNGKey(seed)
+
+        # Deterministic-ODE requests (ddim at eta=0, dpm) go through the
+        # micro-batcher: derive this request's x_T from its seed exactly as
+        # the solo keyed path would, so coalescing cannot change the output.
+        if self.batcher is not None and sampler in ("ddim", "dpm") and eta == 0.0:
+            import jax.numpy as jnp
+            import numpy as np
+
+            m = self.model
+            shape = (batch_size, m.channels, m.num_frames, m.image_size, m.image_size)
+            noise = jax.random.normal(jax.random.split(key)[1], shape)
+            cond_arr = None
+            if cond is not None:
+                from video_diffusion_nnx_tpu.models.text import bert_embed, tokenize
+
+                cond_arr = jnp.asarray(
+                    bert_embed(tokenize(cond), return_cls_repr=m.text_use_bert_cls)
+                )
+            group_key = (sampler, num_steps, grid, cond_scale, cond is not None)
+            t0 = time.perf_counter()
+            rows, group_size, wait_s = self.batcher.submit(group_key, noise, cond_arr)
+            dt = time.perf_counter() - t0
+            gifs = [
+                base64.b64encode(g).decode("ascii")
+                for g in _encode_gifs(np.asarray(rows))
+            ]
+            return {
+                "gifs": gifs,
+                "time_s": round(dt, 3),
+                "shape": list(rows.shape),
+                "coalesced": group_size,
+                "queue_wait_s": round(wait_s, 3),
+            }
 
         def run():
             if sampler == "ddim":
@@ -198,7 +413,7 @@ class SamplingService:
         expect = (m.channels, m.num_frames, m.image_size, m.image_size)
         if known.shape != expect:
             raise ValueError(f"known array must have shape {expect}, got {known.shape}")
-        batch_size = int(req.get("batch_size", 1))
+        batch_size = _coerce(req, "batch_size", int, 1)
         if not 1 <= batch_size <= 16:
             raise ValueError("batch_size must be in [1, 16]")
         mask = req.get("frame_mask")
@@ -214,16 +429,23 @@ class SamplingService:
         # full T-step DDPM chain is opt-in via an EXPLICIT null.
         num_steps = req.get("num_steps", 50)
         if num_steps is not None:
-            num_steps = int(num_steps)
+            num_steps = _coerce(req, "num_steps", int, 50)
             if not 1 <= num_steps <= m.num_timesteps:
                 raise ValueError(f"num_steps must be in [1, {m.num_timesteps}]")
-        wr = float(req.get("recon_guidance", 0.0))
-        cond_scale = float(req.get("cond_scale", 1.0))
+        # Stride-grid support so a distilled checkpoint extends on the grid
+        # it was trained on (advisor r3: /extend previously forced linspace).
+        grid = req.get("grid", "linspace")
+        if grid not in ("linspace", "stride"):
+            raise ValueError("grid must be 'linspace' or 'stride'")
+        if "grid" in req and num_steps is None:
+            raise ValueError("grid applies to the DDIM path; give num_steps")
+        wr = _coerce(req, "recon_guidance", float, 0.0)
+        cond_scale = _coerce(req, "cond_scale", float, 1.0)
         if not (math.isfinite(wr) and math.isfinite(cond_scale)) or wr < 0:
             raise ValueError("recon_guidance and cond_scale must be finite (wr >= 0)")
         if wr > 0 and num_steps is None:
             raise ValueError("recon_guidance needs num_steps (the DDIM path)")
-        seed = int(req.get("seed", 0))
+        seed = _coerce(req, "seed", int, 0)
         cond, batch_size = self._validate_text(req, batch_size)
         if batch_size > 16:
             raise ValueError("batch_size (incl. inferred from text) must be <= 16")
@@ -237,6 +459,7 @@ class SamplingService:
                 cond=cond,
                 cond_scale=cond_scale,
                 num_steps=num_steps,
+                grid=grid,
                 recon_guidance_weight=wr,
             )
         )
@@ -290,11 +513,20 @@ def make_handler(service: SamplingService):
     return Handler
 
 
-def create_server(model, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
+def create_server(
+    model,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    batch_window_s: float | None = 0.05,
+    max_batch_rows: int = 8,
+) -> ThreadingHTTPServer:
     """Build the HTTP server around a loaded diffusion model (separated
-    from main() so tests can run it in-process on an ephemeral port)."""
-    service = SamplingService(model)
-    return ThreadingHTTPServer((host, port), make_handler(service))
+    from main() so tests can run it in-process on an ephemeral port).
+    ``batch_window_s=None`` disables request coalescing."""
+    service = SamplingService(model, batch_window_s, max_batch_rows)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.service = service  # for tests and shutdown
+    return httpd
 
 
 def main() -> None:
@@ -309,6 +541,18 @@ def main() -> None:
     ap.add_argument(
         "--warmup", action="store_true",
         help="compile the default DDIM-50 batch-1 program before accepting traffic",
+    )
+    ap.add_argument(
+        "--batch-window", type=float, default=0.05,
+        help="seconds to linger collecting coalescable requests (default 0.05)",
+    )
+    ap.add_argument(
+        "--max-batch-rows", type=int, default=8,
+        help="max samples per coalesced device call (chip saturates near 8)",
+    )
+    ap.add_argument(
+        "--no-batching", action="store_true",
+        help="disable request coalescing (every request runs solo)",
     )
     args = ap.parse_args()
 
@@ -334,7 +578,11 @@ def main() -> None:
         model.ddim_sample(jax.random.PRNGKey(0), batch_size=1, num_steps=50)
         log.info("warm-up done in %.1fs", time.perf_counter() - t0)
 
-    server = create_server(model, args.host, args.port)
+    server = create_server(
+        model, args.host, args.port,
+        batch_window_s=None if args.no_batching else args.batch_window,
+        max_batch_rows=args.max_batch_rows,
+    )
     log.info("serving on http://%s:%d (GET /health, POST /sample)", args.host, args.port)
     try:
         server.serve_forever()
