@@ -433,3 +433,32 @@ class TestScheduleBufferFreeze:
             for p, v in dict(tr.state.ema_params.flat_state()).items()
         }
         assert any("kernel" in str(p) for p in flat_before)
+
+    def test_freeze_survives_stale_moments(self, npy_path, tmp_path):
+        """The freeze is unconditional: an opt_state carrying nonzero Adam
+        moments on the buffer leaves (e.g. resumed from a run WITHOUT the
+        flag) must not drift them as the moments decay (advisor r3)."""
+        from flax import nnx
+
+        tr = make_trainer(
+            npy_path, tmp_path, train_num_steps=2, freeze_schedule_buffers=True
+        )
+        adam = tr.state.opt_state[0]
+
+        def pollute(moments):
+            p_m, rest_m = nnx.split_state(moments, nnx.Param, ...)
+            rest_m = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 0.1), rest_m)
+            return nnx.merge_state(p_m, rest_m)
+
+        stale = adam._replace(mu=pollute(adam.mu), nu=pollute(adam.nu))
+        tr.state = tr.state.replace(
+            opt_state=(stale,) + tuple(tr.state.opt_state[1:])
+        )
+        before = self._buffers(tr.state.params)
+        tr.train()
+        after = self._buffers(tr.state.params)
+        for p in before:
+            np.testing.assert_array_equal(
+                before[p], after[p],
+                err_msg=f"buffer {p} drifted from stale Adam moments",
+            )

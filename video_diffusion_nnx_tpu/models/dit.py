@@ -167,9 +167,10 @@ class VideoDiT(nnx.Module):
         if self.has_cond:
             # Same null-embedding semantics as Unet3D (CFG dropout swaps in
             # a learned null vector), but sanely initialized — this family
-            # has no reference-parity obligation.
+            # has no reference-parity obligation. Drawn from the module's
+            # rngs stream so distinct seeds give distinct embeddings.
             self.null_cond_emb = nnx.Param(
-                jax.random.normal(jax.random.PRNGKey(0), (1, cond_in)) * 0.02
+                jax.random.normal(rngs.params(), (1, cond_in)) * 0.02
             )
             self.cond_proj = nnx.Linear(cond_in, time_dim, rngs=rngs)
 

@@ -525,6 +525,17 @@ class Trainer:
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
 
+            if freeze_buffers:
+                # Restore buffer VALUES post-update: zeroed grads alone keep
+                # buffers fixed only while their Adam moments are zero — an
+                # opt_state resumed from a run without the flag would keep
+                # drifting them for ~1/(1-beta1) steps as the stale moments
+                # decay. Copying the old values back makes the freeze
+                # unconditional (advisor r3 finding).
+                p_new, _ = nnx.split_state(new_params, nnx.Param, ...)
+                _, rest_old = nnx.split_state(state.params, nnx.Param, ...)
+                new_params = nnx.merge_state(p_new, rest_old)
+
             do_ema = jnp.logical_and(step >= step_start_ema, (step % update_ema_every) == 0)
             new_ema_params = jax.lax.cond(
                 do_ema,
