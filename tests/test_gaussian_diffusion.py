@@ -393,6 +393,26 @@ class TestDPMSolver:
         )
         np.testing.assert_array_equal(np.asarray(keyed), np.asarray(explicit))
 
+    def test_dpm_init_noise_batch_coalescing(self, diffusion):
+        """Each sample's multistep trajectory is a pure function of its own
+        x_T — the server coalesces dpm requests on this property too."""
+        k = jax.random.PRNGKey(5)
+        one_shape = (1,) + SHAPE[1:]
+        n0 = jax.random.normal(jax.random.fold_in(k, 0), one_shape)
+        n1 = jax.random.normal(jax.random.fold_in(k, 1), one_shape)
+        solo0 = diffusion.dpm_solver_sample(
+            key=k, batch_size=1, num_steps=5, init_noise=n0
+        )
+        solo1 = diffusion.dpm_solver_sample(
+            key=k, batch_size=1, num_steps=5, init_noise=n1
+        )
+        both = diffusion.dpm_solver_sample(
+            key=k, batch_size=2, num_steps=5, init_noise=jnp.concatenate([n0, n1])
+        )
+        np.testing.assert_allclose(
+            np.asarray(both), np.concatenate([solo0, solo1]), atol=1e-5, rtol=1e-5
+        )
+
     def test_dpm_shape_and_finite(self, diffusion):
         out = diffusion.dpm_solver_sample(
             key=jax.random.PRNGKey(0), batch_size=2, num_steps=5
