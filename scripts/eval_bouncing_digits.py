@@ -297,6 +297,24 @@ def main() -> None:
     assert stats["recon_psnr_T_4"] > stats["recon_psnr_T_4_untrained"] + 3.0, (
         "reconstruction no better than the untrained floor"
     )
+    # Free-running samples must look like data, not noise. This catches the
+    # schedule-buffer-drift failure mode (PARITY.md #11): a 20k-step run
+    # without trainer.freeze_schedule_buffers drifted sqrt_alphas_cumprod by
+    # ~0.1, and every earlier assertion still PASSED while DDIM/DDPM samples
+    # were pure white noise (spatial autocorr 0.05 vs data 0.83, active
+    # pixel fraction 0.9997 vs data 0.05) — training is self-consistent in
+    # the drifted forward process but samplers read the clean
+    # alphas_cumprod. Noise has ~0 pixel-shift correlation; any data-like
+    # sample is far above it.
+    gen = stats["samples_ddim50"]
+    assert gen["spatial_autocorr"] > 0.5, (
+        f"generated samples are noise-like (spatial autocorr "
+        f"{gen['spatial_autocorr']}); schedule buffers drifted?"
+    )
+    assert gen["active_pixel_frac"] < 6 * stats["data_holdout"]["active_pixel_frac"] + 0.05, (
+        f"generated active-pixel fraction {gen['active_pixel_frac']} far "
+        f"from data {stats['data_holdout']['active_pixel_frac']}"
+    )
     print("EVAL OK")
 
 
