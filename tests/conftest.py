@@ -39,6 +39,35 @@ jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import pytest  # noqa: E402
 from flax import nnx  # noqa: E402
 
+# ---- fast/slow tiers ----
+# tests/slow_tests.txt lists every test measured >= 15 s on the round-4
+# full run (the 61 of them sum to ~43 of the suite's ~57 minutes —
+# compile-heavy trainer/distill/guidance/multihost programs). The fast
+# tier is the remaining ~300 tests in under 15 minutes:
+#
+#     python -m pytest tests/ -q -m "not slow"      # fast tier, <15 min
+#     python -m pytest tests/ -q                    # everything, ~57 min
+#
+# Regenerate after adding heavy tests:
+#     python -m pytest tests/ -q --durations=0 2>&1 \
+#       | grep -E '^[0-9.]+s call' | awk '$1+0>=15{print $3}' | sort \
+#       > tests/slow_tests.txt
+_SLOW_LIST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slow_tests.txt")
+with open(_SLOW_LIST) as _f:
+    _SLOW_IDS = frozenset(line.strip() for line in _f if line.strip())
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: measured >= 15 s on the reference full run"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rngs() -> nnx.Rngs:
