@@ -216,7 +216,9 @@ def main() -> None:
     st2 = [p2, o2, e2]
 
     def run_noema():
-        st2[0], st2[1], _, loss = noema(st2[0], st2[1], st2[2], x, key)
+        # ema (arg 2) is donated even though this variant never updates it —
+        # keep the returned alias or the next call passes a deleted buffer.
+        st2[0], st2[1], st2[2], loss = noema(st2[0], st2[1], st2[2], x, key)
         return loss
 
     noema_dt = timeit(run_noema, lambda l: float(l))

@@ -36,6 +36,15 @@ import jax  # noqa: E402
 # config here reliably redirects the suite to CPU.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# The suite's ~57-minute wall-clock is dominated by CPU jit compiles of
+# trainer/distill/sampler programs. The persistent compilation cache makes
+# re-runs load those executables from disk (the axon-incompatibility only
+# applies to the real-TPU tunnel, which this CPU-redirected process never
+# touches — utils/compile_cache.py checks the config-selected platform).
+from video_diffusion_nnx_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import pytest  # noqa: E402
 from flax import nnx  # noqa: E402
 

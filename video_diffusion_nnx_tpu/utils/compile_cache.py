@@ -36,13 +36,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
     # The axon plugin registers its devices as plain "tpu", so the backend
-    # name can't identify it — the platform *selection* can.
-    selected = " ".join(
-        str(v)
-        for v in (
-            os.environ.get("JAX_PLATFORMS", ""),
-            getattr(jax.config, "jax_platforms", "") or "",
-        )
+    # name can't identify it — the platform *selection* can. An explicit
+    # jax.config value overrides the env var (jax's own precedence): a
+    # process redirected to CPU via jax.config.update (tests, dry-runs)
+    # is NOT on axon even when the ambient env still pins it.
+    selected = str(getattr(jax.config, "jax_platforms", "") or "") or os.environ.get(
+        "JAX_PLATFORMS", ""
     )
     if "axon" in selected:
         # Measured on this toolchain: with the persistent cache enabled on
