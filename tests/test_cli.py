@@ -58,6 +58,16 @@ def tiny_setup(tmp_path_factory):
     }
     cfg_path = root / "tiny.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
+    # Train HERE (not in a test) so checkpoints exist for whichever subset
+    # of the module's tests is selected — the sampler/interpolate tests
+    # must not order-depend on test_train_cli, which the fast tier
+    # (-m "not slow") deselects.
+    argv = sys.argv
+    sys.argv = ["train.py", "--config", str(cfg_path)]
+    try:
+        train_cli.main()
+    finally:
+        sys.argv = argv
     return root, cfg_path
 
 
@@ -156,9 +166,8 @@ class TestConfigLoader:
 
 class TestTrainSampleRoundtrip:
     def test_train_cli(self, tiny_setup, monkeypatch):
+        # The fixture already ran the train CLI; assert its contract.
         root, cfg_path = tiny_setup
-        monkeypatch.setattr(sys, "argv", ["train.py", "--config", str(cfg_path)])
-        train_cli.main()
         ckpt_dir = root / "results" / "checkpoints"
         steps = sorted(int(p.name) for p in ckpt_dir.iterdir() if p.name.isdigit())
         assert steps == [1, 2]

@@ -30,9 +30,32 @@ def test_cache_dir_populated(tmp_path, monkeypatch):
 
 
 def test_axon_platform_guard(monkeypatch, tmp_path):
+    """jax.config's platform selection outranks the env var (jax's own
+    precedence): the guard fires on a config-selected axon even with a
+    clean env, and on an env-selected axon only when the config doesn't
+    override it — the suite itself runs with config='cpu' under an
+    ambient axon env and must keep its cache."""
+    prev = jax.config.jax_platforms  # 'cpu' (conftest)
+    try:
+        jax.config.update("jax_platforms", "axon")
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        assert enable_compilation_cache(str(tmp_path / "never")) is None
+        assert not (tmp_path / "never").exists()
+
+        jax.config.update("jax_platforms", None)
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        assert enable_compilation_cache(str(tmp_path / "never2")) is None
+        assert not (tmp_path / "never2").exists()
+    finally:
+        jax.config.update("jax_platforms", prev)
+
+    # Config-redirected-to-CPU under an ambient axon env: cache allowed.
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
-    assert enable_compilation_cache(str(tmp_path / "never")) is None
-    assert not (tmp_path / "never").exists()
+    try:
+        assert enable_compilation_cache(str(tmp_path / "ok")) == str(tmp_path / "ok")
+    finally:
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        enable_compilation_cache()  # re-point at the suite's default dir
 
 
 def test_env_var_override(monkeypatch, tmp_path):
