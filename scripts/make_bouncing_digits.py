@@ -80,9 +80,42 @@ def make_clips(
     return out.astype(np.uint8)
 
 
+_COUNT_WORDS = {1: "one digit", 2: "two digits", 3: "three digits"}
+
+
+def make_captioned_gifs(
+    glyphs: np.ndarray,
+    out_dir: Path,
+    clips_per_class: int,
+    n_frames: int,
+    canvas: int,
+    rng: np.random.Generator,
+) -> None:
+    """Caption-conditioned variant: GIF clips whose filename carries the
+    digit COUNT ("one digit {i}.gif" / "two digits ..." / "three digits
+    ..."), for `use_path_as_cond` training (data/gif_dataset.py derives the
+    caption from the stem). Ink mass scales with digit count, so caption
+    steering has a clean measurable statistic
+    (scripts/eval_bouncing_digits_cond.py)."""
+    from PIL import Image
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for count, word in _COUNT_WORDS.items():
+        clips = make_clips(glyphs, clips_per_class, n_frames, canvas, count, rng)
+        for b in range(clips_per_class):
+            frames = [Image.fromarray(clips[f, b], mode="L") for f in range(n_frames)]
+            frames[0].save(
+                out_dir / f"{word} {b}.gif",
+                save_all=True, append_images=frames[1:], duration=100, loop=0,
+            )
+        print(f"wrote {clips_per_class} '{word}' clips to {out_dir}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--out", type=str, default=None,
+                    help="output .npy (F,B,H,W); optional when only "
+                    "--captioned-gifs is requested")
     ap.add_argument("--holdout-out", type=str, default=None)
     ap.add_argument("--clips", type=int, default=2000)
     ap.add_argument("--holdout-clips", type=int, default=64)
@@ -90,22 +123,30 @@ def main() -> None:
     ap.add_argument("--canvas", type=int, default=64)
     ap.add_argument("--digits-per-clip", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--captioned-gifs", type=str, default=None,
+        help="also write a caption-conditioned GIF dataset (digit-count "
+        "captions) to this directory",
+    )
+    ap.add_argument("--captioned-clips-per-class", type=int, default=256)
     args = ap.parse_args()
 
+    assert args.out or args.captioned_gifs, "nothing to generate"
     glyphs = _load_glyphs()
     # Writer-disjoint split: sklearn orders samples in writer blocks, so an
     # index split keeps train and holdout handwriting disjoint.
     n_train_glyphs = int(glyphs.shape[0] * 0.9)
     rng = np.random.default_rng(args.seed)
 
-    train = make_clips(
-        glyphs[:n_train_glyphs], args.clips, args.frames, args.canvas,
-        args.digits_per_clip, rng,
-    )
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    np.save(args.out, train)
-    print(f"wrote {args.out}: {train.shape} uint8 (F,B,H,W), "
-          f"mean {train.mean():.1f}, max {train.max()}")
+    if args.out:
+        train = make_clips(
+            glyphs[:n_train_glyphs], args.clips, args.frames, args.canvas,
+            args.digits_per_clip, rng,
+        )
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        np.save(args.out, train)
+        print(f"wrote {args.out}: {train.shape} uint8 (F,B,H,W), "
+              f"mean {train.mean():.1f}, max {train.max()}")
 
     if args.holdout_out:
         holdout = make_clips(
@@ -114,6 +155,12 @@ def main() -> None:
         )
         np.save(args.holdout_out, holdout)
         print(f"wrote {args.holdout_out}: {holdout.shape}")
+
+    if args.captioned_gifs:
+        make_captioned_gifs(
+            glyphs[:n_train_glyphs], Path(args.captioned_gifs),
+            args.captioned_clips_per_class, args.frames, args.canvas, rng,
+        )
 
 
 if __name__ == "__main__":

@@ -65,3 +65,24 @@ def test_env_var_override(monkeypatch, tmp_path):
         assert enable_compilation_cache() == str(tmp_path / "from_env")
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_default_dir_is_host_keyed(monkeypatch, tmp_path):
+    """The default cache dir embeds a host-CPU fingerprint: XLA:CPU AOT
+    entries are feature-flag-specific, and loading a different host's
+    entries logs SIGILL warnings per entry (measured — see
+    compile_cache._host_fingerprint)."""
+    from video_diffusion_nnx_tpu.utils import compile_cache
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("VDN_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.setattr(
+        compile_cache, "_DEFAULT_CACHE_DIR", str(tmp_path / "xla-{host}")
+    )
+    fp = compile_cache._host_fingerprint()
+    assert fp and len(fp) == 10
+    try:
+        assert enable_compilation_cache() == str(tmp_path / f"xla-{fp}")
+    finally:
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        enable_compilation_cache()  # re-point at the suite's default dir

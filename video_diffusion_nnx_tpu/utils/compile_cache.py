@@ -22,7 +22,33 @@ logger = logging.getLogger(__name__)
 # Shared across train/sample/bench by default so a sampler compiled by
 # bench.py is a cache hit for sample.py. Override per-run with the
 # VDN_COMPILATION_CACHE_DIR env var or the trainer config knob.
-_DEFAULT_CACHE_DIR = "~/.cache/video_diffusion_nnx_tpu/xla"
+_DEFAULT_CACHE_DIR = "~/.cache/video_diffusion_nnx_tpu/xla-{host}"
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host's CPU feature set.
+
+    XLA:CPU serializes AOT results compiled for the BUILD machine's exact
+    feature flags; loading them on a host with different features logs a
+    SIGILL warning per entry and can actually crash (measured: a cache
+    populated on an avx512-bf16+amx host spammed `cpu_aot_loader.cc` errors
+    when reused on this machine). Keying the default cache dir by the CPU
+    fingerprint makes every host get its own cache instead of tripping on
+    a predecessor's.
+    """
+    import hashlib
+    import platform
+
+    desc = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    desc += " " + line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(desc.encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
@@ -57,6 +83,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
 
     if not cache_dir:
         cache_dir = os.environ.get("VDN_COMPILATION_CACHE_DIR") or _DEFAULT_CACHE_DIR
+    if "{host}" in cache_dir:
+        cache_dir = cache_dir.replace("{host}", _host_fingerprint())
     path = Path(cache_dir).expanduser().resolve()
     try:
         path.mkdir(parents=True, exist_ok=True)
