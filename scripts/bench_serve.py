@@ -57,7 +57,8 @@ def drain(url: str, n: int, num_steps: int) -> tuple[float, list[dict]]:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--requests", default="8",
+                    help="comma list of concurrent-client counts, e.g. 2,8,16")
     ap.add_argument("--num-steps", type=int, default=50)
     ap.add_argument("--config", default=None)
     ap.add_argument("--checkpoint-path", default=None)
@@ -100,7 +101,8 @@ def main() -> None:
             loss_type="l2",
         )
 
-    result = {"requests": args.requests, "num_steps": args.num_steps}
+    request_counts = [int(n) for n in str(args.requests).split(",")]
+    result = {"requests": request_counts, "num_steps": args.num_steps}
 
     def run_mode(window, tag):
         httpd = serve_mod.create_server(
@@ -109,28 +111,30 @@ def main() -> None:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
         url = "http://%s:%d" % httpd.server_address
-        # Warm-up: compile the programs this mode will use (solo shape for
-        # unbatched; solo + coalesced shapes for batched).
-        drain(url, 1, args.num_steps)
-        if window is not None:
-            drain(url, args.requests, args.num_steps)
-        wall, outs = drain(url, args.requests, args.num_steps)
+        for n in request_counts:
+            # Warm-up: compile the programs this (mode, n) uses (solo shape
+            # for unbatched; solo + coalesced shapes for batched).
+            drain(url, 1, args.num_steps)
+            if window is not None:
+                drain(url, n, args.num_steps)
+            wall, outs = drain(url, n, args.num_steps)
+            groups = sorted({o.get("coalesced", 1) for o in outs}, reverse=True)
+            result[f"{tag}_n{n}_wall_s"] = round(wall, 3)
+            result[f"{tag}_n{n}_clips_per_s"] = round(n / wall, 3)
+            result[f"{tag}_n{n}_max_group"] = groups[0]
+            print(
+                f"[{tag} n={n}] {n} reqs in {wall:.2f}s "
+                f"({n / wall:.2f} clips/s, groups {groups})",
+                file=sys.stderr,
+            )
         httpd.shutdown()
-        groups = sorted({o.get("coalesced", 1) for o in outs}, reverse=True)
-        result[f"{tag}_wall_s"] = round(wall, 3)
-        result[f"{tag}_clips_per_s"] = round(args.requests / wall, 3)
-        result[f"{tag}_max_group"] = groups[0]
-        print(
-            f"[{tag}] {args.requests} reqs in {wall:.2f}s "
-            f"({args.requests / wall:.2f} clips/s, groups {groups})",
-            file=sys.stderr,
-        )
 
     run_mode(0.25, "batched")
     run_mode(None, "serial")
-    result["speedup"] = round(
-        result["serial_wall_s"] / result["batched_wall_s"], 2
-    )
+    for n in request_counts:
+        result[f"speedup_n{n}"] = round(
+            result[f"serial_n{n}_wall_s"] / result[f"batched_n{n}_wall_s"], 2
+        )
     print(json.dumps(result))
 
 

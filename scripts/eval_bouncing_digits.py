@@ -56,7 +56,7 @@ def extract_loss_curve(tb_dir: Path) -> list[tuple[int, float]]:
         rows = []
         for line in jsonl.read_text().splitlines():
             rec = json.loads(line)
-            if rec.get("tag") == "loss":
+            if rec.get("tag") in ("loss", "loss/train"):
                 rows.append((int(rec["step"]), float(rec["value"])))
         if rows:
             return rows
@@ -67,11 +67,16 @@ def extract_loss_curve(tb_dir: Path) -> list[tuple[int, float]]:
     except Exception:
         return []
     rows = []
-    for ev_file in sorted(tb_dir.glob("events.out.tfevents.*")):
+    # Newest event file only: the dir may hold earlier runs' files (e.g.
+    # the discarded eps-prediction run), whose series would interleave.
+    ev_files = sorted(tb_dir.glob("events.out.tfevents.*"), key=lambda p: p.name)
+    for ev_file in ev_files[-1:]:
         acc = EventAccumulator(str(ev_file))
         acc.Reload()
-        if "loss" in acc.Tags().get("scalars", []):
-            rows.extend((int(s.step), float(s.value)) for s in acc.Scalars("loss"))
+        tags = acc.Tags().get("scalars", [])
+        tag = "loss/train" if "loss/train" in tags else ("loss" if "loss" in tags else None)
+        if tag:
+            rows.extend((int(s.step), float(s.value)) for s in acc.Scalars(tag))
     rows.sort()
     return rows
 
