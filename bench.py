@@ -501,13 +501,14 @@ def main() -> None:
     def do_dit():
         from video_diffusion_nnx_tpu.models import VideoDiT
 
+        dit_frames = 10  # v2_2 train recipe (the train batch below is 10f)
         dit = VideoDiT(
             dim=384, depth=8, attn_heads=6, attn_dim_head=64, patch_size=8,
             rngs=nnx.Rngs(0), channels=channels, compute_dtype="bfloat16",
             use_fused_attention=True,
         )
         diff = GaussianDiffusion(
-            dit, image_size=size, num_frames=frames, channels=channels,
+            dit, image_size=size, num_frames=dit_frames, channels=channels,
             timesteps=steps, loss_type="l2",
         )
         graphdef, params = nnx.split(diff)
