@@ -85,7 +85,10 @@ def main() -> None:
         sums: dict[str, list[float]] = {}
         for i in range(0, len(ds), max(1, len(ds) // 90)):  # ~30 clips/class
             video, caption = ds[i]
-            sums.setdefault(caption, []).append(float(np.mean(video)))
+            # Captions are per-clip unique ("three digits 42"); group by the
+            # class phrase (strip the trailing index token).
+            cls = caption.rsplit(" ", 1)[0] if caption.split()[-1].isdigit() else caption
+            sums.setdefault(cls, []).append(float(np.mean(video)))
         data_ink = {k: round(float(np.mean(v)), 4) for k, v in sorted(sums.items())}
         stats["data_ink_by_class"] = data_ink
         print(f"data ink by class: {data_ink}")
