@@ -40,6 +40,14 @@ N. Coalesced batches pad to the next power of two (rows reused from the
 batch) so each request-shape group compiles at most log2(max_rows)+1
 programs — remote compiles cost minutes, so bounding the compile set is
 what makes dynamic batching viable. Disable with --no-batching.
+
+Measured (scripts/bench_serve.py against the trained flagship checkpoint,
+one v5e chip, warm, best-of-2 — results/bench_serve.json): coalescing
+lifts throughput 1.41x at 8 concurrent DDIM-50 clients (2.68 -> 3.77
+clips/s) and 1.46x at 16 (2.60 -> 3.79); at 2 clients the batching window
+costs 15% (0.85x) — the dim-32 model is small enough that a solo clip
+already runs at ~0.38 s, so the coalescing win is bounded by the
+b1-vs-b8/8 per-clip ratio, not the naive 8x.
 """
 
 from __future__ import annotations
@@ -524,7 +532,14 @@ def create_server(
     from main() so tests can run it in-process on an ephemeral port).
     ``batch_window_s=None`` disables request coalescing."""
     service = SamplingService(model, batch_window_s, max_batch_rows)
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+
+    class _Server(ThreadingHTTPServer):
+        # Default listen backlog (5) resets connections under bursts of
+        # concurrent clients (measured: 16 simultaneous connects during a
+        # multi-second device call dropped one with ECONNRESET).
+        request_queue_size = 128
+
+    httpd = _Server((host, port), make_handler(service))
     httpd.service = service  # for tests and shutdown
     return httpd
 
