@@ -260,6 +260,64 @@ class TestShardedTraining:
         np.testing.assert_allclose(l_dp, l_sp, rtol=2e-3)
 
 
+class TestFlattenOptimizer:
+    def test_matches_tree_run(self, npy_path, tmp_path):
+        """optax.flatten + flat EMA is a LAYOUT choice: Adam/EMA are
+        elementwise, so the flat-buffer run must track the per-leaf-tree
+        run step for step — losses AND the EMA vector itself."""
+        l_tree, l_flat = [], []
+        tr_tree = make_trainer(
+            npy_path, tmp_path / "tree", train_num_steps=3, checkpoint_every_steps=100
+        )
+        tr_tree.train(log_fn=lambda d: l_tree.append(d["loss"]))
+        tr = make_trainer(
+            npy_path, tmp_path / "flat", train_num_steps=3, checkpoint_every_steps=100,
+            flatten_optimizer=True,
+        )
+        # The flattened state holds mu/nu AND the EMA as single flat
+        # buffers, not param trees.
+        adam_state = tr.state.opt_state[0] if isinstance(tr.state.opt_state, tuple) \
+            else tr.state.opt_state
+        assert adam_state.mu.ndim == 1
+        assert tr.state.ema_params.ndim == 1
+        tr.train(log_fn=lambda d: l_flat.append(d["loss"]))
+        np.testing.assert_allclose(l_tree, l_flat, rtol=2e-3)
+        # EMA equivalence through the unravel (the checkpoint/sample view).
+        from jax.flatten_util import ravel_pytree
+
+        ema_tree_flat, _ = ravel_pytree(tr_tree.state.ema_params)
+        np.testing.assert_allclose(
+            np.asarray(ema_tree_flat), np.asarray(tr.state.ema_params),
+            rtol=2e-3, atol=1e-6,  # f32 fusion-order rounding on ~0 elements
+        )
+
+    def test_checkpoint_roundtrip_and_sampling(self, npy_path, tmp_path):
+        """Checkpoints keep the canonical param-tree EMA layout: a flat run's
+        save must be loadable by a resumed flat trainer (ravel on load) and
+        sample_batch must unravel the runtime vector."""
+        tr = make_trainer(
+            npy_path, tmp_path, train_num_steps=2, checkpoint_every_steps=2,
+            flatten_optimizer=True,
+        )
+        tr.train()
+        out = tr.sample_batch(1, use_ema=True)
+        assert out.shape == (1, 1, FRAMES, SIZE, SIZE)
+        resumed = make_trainer(
+            npy_path, tmp_path, train_num_steps=2, checkpoint_every_steps=2,
+            flatten_optimizer=True, resume_training_step=2,
+        )
+        assert resumed.state.ema_params.ndim == 1
+        np.testing.assert_allclose(
+            np.asarray(resumed.state.ema_params),
+            np.asarray(tr.state.ema_params),
+            rtol=1e-6,
+        )
+
+    def test_rejects_sharded_params(self, npy_path, tmp_path):
+        with pytest.raises(AssertionError, match="flatten_optimizer"):
+            make_trainer(npy_path, tmp_path, flatten_optimizer=True, num_model_shards=2)
+
+
 class TestGradFeatures:
     def test_grad_clip_changes_trajectory(self, npy_path, tmp_path):
         l_no, l_clip = [], []

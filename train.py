@@ -66,6 +66,7 @@ def build_from_config(config: dict, resume_step: int = 0, rng_seed: int | None =
         fsdp_min_size_to_shard=trainer_cfg["fsdp_min_size_to_shard"],
         null_cond_prob=trainer_cfg["null_cond_prob"],
         freeze_schedule_buffers=trainer_cfg["freeze_schedule_buffers"],
+        flatten_optimizer=trainer_cfg["flatten_optimizer"],
     )
     return unet_model, diffusion_model, trainer
 

@@ -70,6 +70,13 @@ _TRAINER_DEFAULTS: dict[str, Any] = {
     # True stops the optimizer from drifting the diffusion-schedule buffers
     # (PARITY.md #11); False reproduces the reference's full-state Adam.
     "freeze_schedule_buffers": False,
+    # True collapses Adam's per-leaf moments AND the EMA into single flat
+    # buffers (optax.flatten + raveled EMA) — a TPU dispatch optimization
+    # for replicated-params runs, measured 6% faster per step
+    # (scripts/ab_flat_opt.py). Model/EMA checkpoints keep the canonical
+    # tree layout either way; off by default only for OPT-state
+    # checkpoint-layout parity.
+    "flatten_optimizer": False,
 }
 
 # Trainer keys that are legitimate in YAML but have no constructor default

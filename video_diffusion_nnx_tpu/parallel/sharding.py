@@ -166,6 +166,15 @@ def optimizer_partition_specs(param_specs: PyTree, abstract_opt_state: PyTree) -
         adam_like = abstract_opt_state[0]
         others = abstract_opt_state[1:]
 
+    # A flattened optimizer (optax.flatten — trainer ``flatten_optimizer``)
+    # holds mu/nu as ONE flat buffer whose tree structure no longer mirrors
+    # the parameter tree; per-leaf specs cannot apply, so replicate. The
+    # trainer restricts the flat path to replicated-params topologies.
+    if jax.tree_util.tree_structure(adam_like.mu) != jax.tree_util.tree_structure(
+        param_specs, is_leaf=lambda x: isinstance(x, P)
+    ):
+        return jax.tree_util.tree_map(lambda _: P(), abstract_opt_state)
+
     mu_spec = jax.tree_util.tree_map(mirror_partition_spec, param_specs, adam_like.mu)
     nu_spec = jax.tree_util.tree_map(mirror_partition_spec, param_specs, adam_like.nu)
     adam_spec = type(adam_like)(count=P(), mu=mu_spec, nu=nu_spec)

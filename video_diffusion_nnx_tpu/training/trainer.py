@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import nnx, struct
+from jax.flatten_util import ravel_pytree
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import orbax.checkpoint as ocp
@@ -124,6 +125,7 @@ class Trainer:
         async_checkpointing: bool = False,
         null_cond_prob: float = 0.0,
         freeze_schedule_buffers: bool = False,
+        flatten_optimizer: bool = False,
     ):
         self.key = jax.random.PRNGKey(rng_seed)
         self.profile_flush_step = profile_flush_step
@@ -183,11 +185,40 @@ class Trainer:
                 lr_decay_start_step + lr_decay_steps: lr_decay_coeff,
             },
         )
-        self.tx = optax.adam(self.lr_schedule)
+        # Flattened-buffer optimizer (TPU dispatch optimization, off by
+        # default for opt/EMA checkpoint-layout parity): the ~400-leaf
+        # parameter tree lowers Adam+EMA to hundreds of sub-roofline small
+        # kernels (measured at 4-12% of HBM peak in isolation —
+        # results/roofline_train_step.json). optax.flatten ravels grads/
+        # moments into single flat buffers AND the EMA is held as one flat
+        # vector (an axpy over ravel(new_params)). Both must flatten
+        # together: A/B on hardware (scripts/ab_flat_opt.py) measured
+        # flatten-Adam-alone 32% SLOWER (the ravel/unravel lowers to
+        # per-leaf copies that don't pay for themselves) and flat-EMA-alone
+        # neutral, while the combination is 5-6% faster (XLA fuses the
+        # update unravel -> apply -> EMA ravel chain into flat-buffer
+        # passes). Numerics are identical (Adam/EMA are elementwise;
+        # concatenation order changes nothing — tested in
+        # tests/test_trainer.py). Restricted to replicated-params
+        # topologies: one flat buffer cannot carry per-leaf TP/FSDP specs.
+        self.flatten_optimizer = flatten_optimizer
+        if flatten_optimizer:
+            assert num_model_shards == 1 and param_sharding == "tensor", (
+                "flatten_optimizer supports replicated parameters only "
+                "(num_model_shards=1, param_sharding='tensor'); a flat "
+                "moment buffer cannot carry per-leaf TP/FSDP shardings"
+            )
+            self.tx = optax.flatten(optax.adam(self.lr_schedule))
+            # ravel_pytree copies into a fresh flat buffer (donation-safe)
+            # and returns the unravel fn used at checkpoint/sample time.
+            init_ema_params, self._ema_unravel = ravel_pytree(init_params)
+        else:
+            self.tx = optax.adam(self.lr_schedule)
+            self._ema_unravel = None
+            # Real copies, not aliases: the train step donates the whole
+            # state, and XLA rejects donating one buffer via two arguments.
+            init_ema_params = jax.tree_util.tree_map(jnp.copy, init_params)
         init_opt_state = self.tx.init(init_params)
-        # Real copies, not aliases: the train step donates the whole state,
-        # and XLA rejects donating the same buffer via two arguments.
-        init_ema_params = jax.tree_util.tree_map(jnp.copy, init_params)
 
         # --- Training configuration ---
         self.train_num_steps = train_num_steps
@@ -283,7 +314,10 @@ class Trainer:
             init_opt_state,
         )
         opt_specs = optimizer_partition_specs(param_specs, abstract_opt)
-        spec_tree = NnxTrainState(params=param_specs, opt_state=opt_specs, ema_params=param_specs)
+        # Flat EMA is a single (replicated-only) vector; its structure no
+        # longer mirrors the param tree.
+        ema_specs = P() if self.flatten_optimizer else param_specs
+        spec_tree = NnxTrainState(params=param_specs, opt_state=opt_specs, ema_params=ema_specs)
         self.train_state_sharding = named_shardings(self.mesh, spec_tree)
         self.batch_sharding = NamedSharding(self.mesh, P(self.data_axis_name))
         self.repl_sharding = NamedSharding(self.mesh, P())
@@ -384,6 +418,11 @@ class Trainer:
                     self.model, self.step, str(self.checkpoint_dir_path), self.ckpt_manager
                 )
                 if model is not None and ema_params is not None:
+                    if self.flatten_optimizer:
+                        # Checkpoints always hold the EMA as the canonical
+                        # param tree (layout parity); ravel back to the
+                        # flat runtime layout.
+                        ema_params = ravel_pytree(ema_params)[0]
                     restored_opt = init_opt_state
                     if self._opt_ckpt_manager is not None:
                         try:
@@ -504,6 +543,7 @@ class Trainer:
             return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, grad_sum)
 
         freeze_buffers = self.freeze_schedule_buffers
+        ema_is_flat = self.flatten_optimizer
 
         def train_step(state: NnxTrainState, batch_data, key, step):
             loss, grads = grads_of(state.params, batch_data, key)
@@ -537,15 +577,22 @@ class Trainer:
                 new_params = nnx.merge_state(p_new, rest_old)
 
             do_ema = jnp.logical_and(step >= step_start_ema, (step % update_ema_every) == 0)
-            new_ema_params = jax.lax.cond(
-                do_ema,
-                lambda: jax.tree_util.tree_map(
-                    lambda e, p: ema_decay * e + (1 - ema_decay) * p,
-                    state.ema_params,
-                    new_params,
-                ),
-                lambda: state.ema_params,
-            )
+            if ema_is_flat:
+                # One full-bandwidth axpy over the raveled params instead of
+                # ~400 per-leaf kernels (see flatten_optimizer in __init__).
+                def ema_fire():
+                    return ema_decay * state.ema_params + (
+                        1 - ema_decay
+                    ) * ravel_pytree(new_params)[0]
+            else:
+                def ema_fire():
+                    return jax.tree_util.tree_map(
+                        lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                        state.ema_params,
+                        new_params,
+                    )
+
+            new_ema_params = jax.lax.cond(do_ema, ema_fire, lambda: state.ema_params)
             new_state = state.replace(
                 params=new_params, opt_state=new_opt_state, ema_params=new_ema_params
             )
@@ -719,7 +766,15 @@ class Trainer:
             logger.info("Checkpoint for step %d already exists; skipping save", self.step)
             return
         try:
-            state_to_save = jax.device_get(self.state)
+            ema_to_save = self.state.ema_params
+            if self.flatten_optimizer:
+                # Checkpoints keep the canonical param-tree EMA layout
+                # (reference/Orbax parity): unravel the flat runtime vector
+                # on device (cheap slices) before the host fetch.
+                ema_to_save = self._ema_unravel(ema_to_save)
+            state_to_save = jax.device_get(
+                self.state.replace(ema_params=ema_to_save)
+            )
             save_checkpoint(
                 self.ckpt_manager, state_to_save.params, state_to_save.ema_params,
                 self.step, wait=wait,
@@ -764,6 +819,8 @@ class Trainer:
         if key is None:
             self.key, key = jax.random.split(self.key)
         params = self.state.ema_params if use_ema else self.state.params
+        if use_ema and self.flatten_optimizer:
+            params = self._ema_unravel(params)  # flat vector -> param tree
         model = nnx.merge(self.graphdef, params)
         cond = [self.sample_text] * batch_size if self.sample_text else None
         return model.sample(
